@@ -1,0 +1,84 @@
+"""Pipeline configuration mirroring the reference plugin's config surface.
+
+Reference: the ``config_param`` block at
+lib/fluent/plugin/filter_kubernetes_metadata.rb:44-99 (SURVEY.md section 2.1).
+Only semantically meaningful parameters are kept; transport/TLS/watch-retry
+parameters have no Spark analogue (dimension tables replace the API client).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Knobs of the enrichment pipeline.
+
+    Defaults match the reference defaults exactly
+    (filter_kubernetes_metadata.rb:44-99).
+    """
+
+    # filter:44 — when None the enrichment joins are skipped entirely and
+    # every row passes through with only the base kubernetes struct absent
+    # (the reference only enriches when a kubernetes_url is configured,
+    # filter_kubernetes_metadata.rb:337).
+    kubernetes_url: str | None = "https://kubernetes.default.svc"
+
+    # filter:72 — list of regexes; an annotation is kept iff its KEY matches
+    # any regex (kubernetes_metadata_common.rb:30-38). Default [] means
+    # annotations are never emitted (match_annotations returns {}).
+    annotation_match: tuple[str, ...] = ()
+
+    # filter:74-76 — join-miss fallback (kubernetes_metadata_cache_strategy.rb:58-79)
+    allow_orphans: bool = True
+    orphaned_namespace_name: str = ".orphaned"
+    orphaned_namespace_id: str = "orphaned"
+
+    # filter:77 — record-carried kubernetes/docker fields win over the tag
+    # parse when all four identity fields are present (filter:384-399).
+    lookup_from_k8s_field: bool = True
+
+    # filter:82-88 — projection flags (SURVEY.md O16)
+    skip_labels: bool = False
+    skip_pod_labels: bool = False
+    skip_namespace_labels: bool = False
+    skip_container_metadata: bool = False
+    skip_master_url: bool = False
+    skip_namespace_metadata: bool = False
+    include_ownerrefs_metadata: bool = False
+
+    # filter:66-67 — the tag regexes; overridable like
+    # tag_to_kubernetes_name_regexp but kept as the two alternation branches
+    # so each stays free of duplicate named groups (Java regex restriction).
+    # ``None`` means use the reference defaults from parse.py.
+    regex_var_log_pods: str | None = None
+    regex_var_log_containers: str | None = None
+
+    # Routing (SURVEY.md O4): column used for fan-out partitioning of the
+    # enriched output. The reference routes by fluentd tag via <match>
+    # blocks (README.md:104-110); we route by final namespace_name.
+    route_column: str = "namespace_name"
+
+    # Skew handling (SURVEY.md section 4 item 1): number of salt buckets
+    # appended to conv_id for the physical repartition before the fan-out
+    # write. Purely physical — output content/order is unaffected.
+    salt_buckets: int = 8
+
+    # Parallelism hint for the salted repartition; None = leave to AQE.
+    shuffle_partitions: int | None = None
+
+    # Extraction strategy: "native" (JVM regexp_extract, codegen) or
+    # "pandas" (single vectorized Arrow UDF). Both produce identical
+    # results (tested); native benches faster because it never leaves
+    # the JVM.
+    extraction: str = "native"
+
+    def with_(self, **kw) -> "PipelineConfig":
+        """Return a copy with the given fields replaced."""
+        from dataclasses import replace
+
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,245 @@
+"""Tag/source-string extraction (SURVEY.md O5-O8).
+
+Re-expresses the reference's tag regexes
+(lib/fluent/plugin/filter_kubernetes_metadata.rb:57-58, applied at :365)
+as Spark expressions. The reference compiles one union regex
+``(PODS|CONTAINERS)``; Java regex forbids duplicate named groups across
+alternation branches, so we keep the two branches as separate patterns and
+model the first-match alternation (O6) with ``rlike`` + ``when`` — the
+branches have disjoint literal prefixes (var.log.pods vs
+var.log.containers) so ordering only matters for pathological tags, where
+we preserve the reference's PODS-first order.
+
+Two execution strategies, identical results (tested against each other):
+
+- ``native``: ``F.regexp_extract`` per group — stays inside whole-stage
+  codegen, zero Python. Group indices are computed programmatically from
+  the pattern via Python ``re`` so they can never drift from the pattern.
+- ``pandas``: one vectorized pandas UDF over Arrow batches using
+  ``pd.Series.str.extract`` (named groups, one regex pass per branch per
+  batch). No per-row Python anywhere.
+
+At 100 TB the extraction is embarrassingly parallel and pipelined into
+the scan; neither path shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+# Verbatim semantics of filter_kubernetes_metadata.rb:57-58 (named-group
+# syntax (?<x>...) is shared by Ruby/Java; Python needs (?P<x>...)).
+REGEX_VAR_LOG_PODS = (
+    r"(var\.log\.pods)\.(?<namespace>[^_]+)_"
+    r"(?<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_"
+    r"(?<pod_uuid>[a-z0-9-]*)\.(?<container_name>.+)\..*\.log$"
+)
+REGEX_VAR_LOG_CONTAINERS = (
+    r"(var\.log\.containers)\."
+    r"(?<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_"
+    r"(?<namespace>[^_]+)_(?<container_name>.+)-(?<docker_id>[a-z0-9]{64})\.log$"
+)
+
+# Columns produced by extraction. x_ prefix = "extracted".
+EXTRACTED_COLS = [
+    "x_namespace",
+    "x_pod_name",
+    "x_container_name",
+    "x_pod_uuid",
+    "x_docker_id",
+    "x_branch",  # 'pods' | 'containers' | null (no match)
+]
+
+
+def _pyre(pattern: str) -> "re.Pattern":
+    """Compile a Ruby/Java-style named-group pattern with Python re."""
+    return re.compile(pattern.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace("(?P<!", "(?<!"))
+
+
+def group_index(pattern: str) -> dict[str, int]:
+    """name -> group number; identical numbering in Python & Java regex
+    (groups are numbered by opening parenthesis; named groups count)."""
+    return dict(_pyre(pattern).groupindex)
+
+
+def _java_pattern(pattern: str) -> str:
+    """Java named-group names may not contain '_' (unlike Ruby/Python),
+    so strip the names into anonymous groups for the JVM-side pattern —
+    group NUMBERING is identical, and we address groups by number."""
+    return re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", "(", pattern)
+
+
+def _native_branch(col: Column, pattern: str, names: list[str]) -> dict[str, Column]:
+    gi = group_index(pattern)
+    jp = _java_pattern(pattern)
+    return {n: F.regexp_extract(col, jp, gi[n]) for n in names if n in gi}
+
+
+def extract_native(df: DataFrame, source_col: str = "tool",
+                   pods_pattern: str | None = None,
+                   containers_pattern: str | None = None) -> DataFrame:
+    """JVM-side extraction. Adds EXTRACTED_COLS; null = group absent."""
+    pp = pods_pattern or REGEX_VAR_LOG_PODS
+    cp = containers_pattern or REGEX_VAR_LOG_CONTAINERS
+    src = F.col(source_col)
+    pods_m = src.rlike(_java_pattern(pp))
+    cont_m = src.rlike(_java_pattern(cp))
+    p = _native_branch(src, pp, ["namespace", "pod_name", "container_name", "pod_uuid"])
+    c = _native_branch(src, cp, ["namespace", "pod_name", "container_name", "docker_id"])
+    # PODS branch first, like the reference's union regex (filter:66-67).
+    branch = F.when(pods_m, F.lit("pods")).when(cont_m, F.lit("containers"))
+
+    def pick(name: str) -> Column:
+        pv = p.get(name)
+        cv = c.get(name)
+        return (
+            F.when(pods_m, pv if pv is not None else F.lit(None).cast("string"))
+            .when(cont_m, cv if cv is not None else F.lit(None).cast("string"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    return (
+        df.withColumn("x_namespace", pick("namespace"))
+        .withColumn("x_pod_name", pick("pod_name"))
+        .withColumn("x_container_name", pick("container_name"))
+        .withColumn("x_pod_uuid", pick("pod_uuid"))
+        .withColumn("x_docker_id", pick("docker_id"))
+        .withColumn("x_branch", branch)
+    )
+
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("x_namespace", T.StringType()),
+        T.StructField("x_pod_name", T.StringType()),
+        T.StructField("x_container_name", T.StringType()),
+        T.StructField("x_pod_uuid", T.StringType()),
+        T.StructField("x_docker_id", T.StringType()),
+        T.StructField("x_branch", T.StringType()),
+    ]
+)
+
+
+def make_extract_pandas_udf(pods_pattern: str | None = None,
+                            containers_pattern: str | None = None):
+    """Vectorized Arrow-batched extraction UDF (input_hint: pandas UDFs,
+    no per-row Python). One ``str.extract`` pass per branch per batch."""
+    pp = _pyre(pods_pattern or REGEX_VAR_LOG_PODS)
+    cp = _pyre(containers_pattern or REGEX_VAR_LOG_CONTAINERS)
+
+    @F.pandas_udf(_EXTRACT_SCHEMA)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        s = s.astype("string")
+        pe = s.str.extract(pp)
+        ce = s.str.extract(cp)
+        pods_m = pe["namespace"].notna()
+        cont_m = ce["namespace"].notna() & ~pods_m
+        out = pd.DataFrame(
+            {
+                "x_namespace": pe["namespace"].where(pods_m, ce["namespace"].where(cont_m)),
+                "x_pod_name": pe["pod_name"].where(pods_m, ce["pod_name"].where(cont_m)),
+                "x_container_name": pe["container_name"].where(
+                    pods_m, ce["container_name"].where(cont_m)
+                ),
+                "x_pod_uuid": pe["pod_uuid"].where(pods_m),
+                "x_docker_id": ce["docker_id"].where(cont_m),
+                "x_branch": pd.Series("pods", index=s.index, dtype="string")
+                .where(pods_m)
+                .where(~cont_m, "containers"),
+            }
+        )
+        return out.astype(object).where(out.notna(), None)
+
+    return extract
+
+
+def extract_pandas(df: DataFrame, source_col: str = "tool",
+                   pods_pattern: str | None = None,
+                   containers_pattern: str | None = None) -> DataFrame:
+    udf = make_extract_pandas_udf(pods_pattern, containers_pattern)
+    st = udf(F.col(source_col)).alias("_x")
+    df = df.withColumn("_x", st)
+    for c in EXTRACTED_COLS:
+        df = df.withColumn(c, F.col(f"_x.{c}"))
+    return df.drop("_x")
+
+
+def extract_source_fields(df: DataFrame, source_col: str = "tool",
+                          method: str = "native",
+                          pods_pattern: str | None = None,
+                          containers_pattern: str | None = None) -> DataFrame:
+    """O5+O6: run the tag regexes over ``source_col`` adding EXTRACTED_COLS."""
+    if method == "pandas":
+        return extract_pandas(df, source_col, pods_pattern, containers_pattern)
+    return extract_native(df, source_col, pods_pattern, containers_pattern)
+
+
+def resolve_identity(df: DataFrame, cfg) -> DataFrame:
+    """O7 (cache-key selection, filter:368-372) + O8 (record-carried
+    kubernetes/docker fields override the tag parse, filter:384-399).
+
+    Adds i_namespace / i_pod_name / i_container_name / i_cache_key /
+    i_docker_id / i_matched. The record path requires ALL of
+    {kubernetes.namespace_name, kubernetes.pod_name,
+    kubernetes.container_name, docker.container_id} non-null (partial
+    presence falls back to the tag parse, exactly like the all-or-nothing
+    key?-chain at filter:385-391); when taken, the record's container_id
+    serves as both cache key and docker id (filter:392-399).
+    """
+    cols = set(df.columns)
+    # record-carried identity either as nested structs (kubernetes.docker
+    # input schema) or as flat k8s_* columns (transcripts_carried fixture)
+    if {"kubernetes", "docker"} <= cols:
+        r_ns = F.col("kubernetes.namespace_name")
+        r_pod = F.col("kubernetes.pod_name")
+        r_cn = F.col("kubernetes.container_name")
+        r_did = F.col("docker.container_id")
+        has_record = True
+    elif {"k8s_namespace_name", "k8s_pod_name", "k8s_container_name", "docker_container_id"} <= cols:
+        r_ns = F.col("k8s_namespace_name")
+        r_pod = F.col("k8s_pod_name")
+        r_cn = F.col("k8s_container_name")
+        r_did = F.col("docker_container_id")
+        has_record = True
+    else:
+        has_record = False
+
+    tag_matched = F.col("x_branch").isNotNull()
+    # filter:368-372 — pod_uuid is the key iff the PODS branch matched
+    # (it may legally be the empty string); otherwise docker_id.
+    tag_key = F.when(F.col("x_branch") == "pods", F.col("x_pod_uuid")).otherwise(
+        F.col("x_docker_id")
+    )
+
+    if cfg.lookup_from_k8s_field and has_record:
+        rec_ok = r_ns.isNotNull() & r_pod.isNotNull() & r_cn.isNotNull() & r_did.isNotNull()
+        ns = F.when(rec_ok, r_ns).otherwise(F.col("x_namespace"))
+        pod = F.when(rec_ok, r_pod).otherwise(F.col("x_pod_name"))
+        cn = F.when(rec_ok, r_cn).otherwise(F.col("x_container_name"))
+        key = F.when(rec_ok, r_did).otherwise(tag_key)
+        did = F.when(rec_ok, r_did).otherwise(F.col("x_docker_id"))
+        matched = rec_ok | tag_matched
+    else:
+        ns, pod, cn, key, did, matched = (
+            F.col("x_namespace"),
+            F.col("x_pod_name"),
+            F.col("x_container_name"),
+            tag_key,
+            F.col("x_docker_id"),
+            tag_matched,
+        )
+
+    return (
+        df.withColumn("i_namespace", ns)
+        .withColumn("i_pod_name", pod)
+        .withColumn("i_container_name", cn)
+        .withColumn("i_cache_key", key)
+        .withColumn("i_docker_id", did)
+        .withColumn("i_matched", matched)
+    )

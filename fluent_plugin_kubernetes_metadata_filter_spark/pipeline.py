@@ -1,0 +1,59 @@
+"""End-to-end parse -> enrich -> route -> aggregate composition
+(SURVEY.md section 7.1 — the flagship slice).
+
+    read transcripts -> extract tag fields -> broadcast-join pods/ns dims
+    -> branch when-chains (as-of / orphan / skips) -> struct assembly
+    -> salted repartition + stable (conv_id, turn_idx) order
+    -> fan-out write partitioned by namespace + per-sink counts
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+from fluent_plugin_kubernetes_metadata_filter_spark.enrich import (
+    ENRICHED_COLS,
+    assemble_structs,
+    enrich,
+)
+from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table, write_routed
+from fluent_plugin_kubernetes_metadata_filter_spark.route import (
+    per_sink_counts,
+    salted_repartition,
+    stable_order,
+)
+
+INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def enrich_transcripts(spark: SparkSession, sf_dir: str,
+                       cfg: PipelineConfig = PipelineConfig(),
+                       table: str = "transcripts") -> DataFrame:
+    """Load + enrich; returns input columns plus flat ENRICHED_COLS."""
+    df = load_table(spark, sf_dir, table)
+    pods = load_table(spark, sf_dir, "pods_dim")
+    ns = load_table(spark, sf_dir, "namespaces_dim")
+    return enrich(df, pods, ns, cfg)
+
+
+def routed_output(spark: SparkSession, sf_dir: str,
+                  cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Enriched rows in emit shape: structs assembled, stable order."""
+    df = enrich_transcripts(spark, sf_dir, cfg)
+    df = assemble_structs(df)
+    df = salted_repartition(df, cfg)
+    df = stable_order(df)
+    keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
+    return df.select(*keep)
+
+
+def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
+        cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Full job. Writes fan-out parquet when out_dir given; returns the
+    per-sink count aggregate (the job's summary result)."""
+    df = routed_output(spark, sf_dir, cfg)
+    if out_dir:
+        write_routed(df, out_dir, cfg.route_column)
+    return per_sink_counts(df, cfg.route_column).orderBy("sink")

@@ -1,0 +1,68 @@
+"""Routing, ordering, skew handling, and per-sink aggregates
+(SURVEY.md O4, O22; section 4 "what needs explicit handling").
+
+The reference hands enriched events back to fluentd's router which
+fan-outs by tag (README.md:104-110) and counts per-path stats
+(kubernetes_metadata_stats.rb:26-45). Here:
+
+- per-sink counts are a ``groupBy(route).count()`` — map-side partial
+  aggregation makes this one small shuffle;
+- hot conversations (one pod producing a large share of turns) would
+  hotspot a plain hash repartition, so the physical placement key is
+  (conv_id, salt) where salt = xxhash64(conv_id, turn_idx) % S. The salt
+  affects ONLY placement: output content is unchanged and per-conversation
+  order is re-established logically by the (conv_id, turn_idx) window
+  sort, so per-turn text equality with the reference holds exactly;
+- observe() metrics give the counter semantics of O22 without a second
+  pass over the data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, Window
+
+from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+
+
+def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Physical-only skew defuse: repartition on (conv_id, salt)."""
+    salt = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(cfg.salt_buckets))
+    df = df.withColumn("_salt", salt)
+    n = cfg.shuffle_partitions
+    df = df.repartition(n, "conv_id", "_salt") if n else df.repartition("conv_id", "_salt")
+    return df.drop("_salt")
+
+
+def stable_order(df: DataFrame) -> DataFrame:
+    """Logical per-conversation ordering: turn_seq = row_number over
+    (conv_id ordered by turn_idx). Deterministic regardless of physical
+    placement/salting (SURVEY.md section 7.4 item 4)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_seq", F.row_number().over(w))
+
+
+def per_sink_counts(df: DataFrame, route_column: str = "namespace_name") -> DataFrame:
+    """O4/O22 routed-count aggregate; null route = passthrough sink."""
+    return (
+        df.groupBy(F.coalesce(F.col(route_column), F.lit("__passthrough__")).alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def observed(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Observation]:
+    """Counter semantics of kubernetes_metadata_stats.rb:26-45 via
+    ``observe`` — computed inline with whatever action consumes the
+    DataFrame, no extra job."""
+    obs = Observation("k8s_meta_stats")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("events_total"),
+        F.count(F.col("pod_id")).alias("pod_enriched"),
+        F.count(F.col("orphaned_namespace")).alias("orphaned_records"),
+        F.count(F.when(F.col("i_matched") & F.col("pod_id").isNull(), 1)).alias(
+            "pod_cache_miss"
+        ),
+        F.count(F.when(~F.col("i_matched"), 1)).alias("passthrough"),
+    )
+    return df, obs
