@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship enrich+route job at sf0.001 (per-sink counts).
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
@@ -15,24 +13,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full parse -> enrich -> route on sf0.001; returns
+    per-sink routed counts (one row per namespace sink + orphaned +
+    passthrough)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+
+    return pipeline.run(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fluent_plugin_kubernetes_metadata_filter_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_containers": q.q_parse_containers,
+        "parse_pods": q.q_parse_pods,
+        "enrich_flat": q.q_enrich_flat,
+        "route_counts": q.q_route_counts,
+        "sink_role_counts": q.q_sink_role_counts,
+        "orphan_counts": q.q_orphan_counts,
+        "asof_branch": q.q_asof_branch,
+        "record_override": q.q_record_override,
+        "pod_labels": q.q_pod_labels,
+        "annotations_filtered": q.q_annotations_filtered,
+        "skip_ns_meta": q.q_skip_ns_meta,
+        "stable_order": q.q_stable_order,
+        "container_correlation": q.q_container_correlation,
+        "prefix_strip": q.q_prefix_strip,
+        "per_conv_stats": q.q_per_conv_stats,
+        "dedup_exact": q.q_dedup_exact,
+        "token_stats": q.q_token_stats,
+        "quality": q.q_quality,
+        "langid": q.q_langid,
+        "fingerprint": q.q_fingerprint,
+        "ngram_jaccard": q.q_ngram_jaccard,
+        "ann_topk": q.q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # make sure the generated parquet the SQL reads exists before DuckDB runs
+    from fluent_plugin_kubernetes_metadata_filter_spark.datagen import ensure_sf
+    from fluent_plugin_kubernetes_metadata_filter_spark.oracle import oracle_queries
+
+    ensure_sf("sf0.01")
+    return oracle_queries()

@@ -1,0 +1,345 @@
+"""DuckDB oracle SQL for every query in queries.py.
+
+These are independent re-implementations of the semantics in ANSI-ish
+SQL over the same parquet files, used by the driver's correctness gate
+(CORRECTNESS_r{N}.json) and by scripts/oracle_check.py locally.
+
+The enrichment branch logic mirrors
+kubernetes_metadata_cache_strategy.rb:24-102 — see enrich.py for the
+branch table; group indices for regexp_extract are computed from the
+pattern at build time (parse.group_index) so SQL and Spark can't drift.
+"""
+
+from __future__ import annotations
+
+from fluent_plugin_kubernetes_metadata_filter_spark.parse import (
+    REGEX_VAR_LOG_CONTAINERS,
+    REGEX_VAR_LOG_PODS,
+    _java_pattern,
+    group_index,
+)
+
+AUX = "/root/repo/data/sf0.01"
+MASTER_URL = "https://kubernetes.default.svc"
+
+_PP = _java_pattern(REGEX_VAR_LOG_PODS)
+_CP = _java_pattern(REGEX_VAR_LOG_CONTAINERS)
+_PGI = group_index(REGEX_VAR_LOG_PODS)
+_CGI = group_index(REGEX_VAR_LOG_CONTAINERS)
+
+
+def _aux(name: str) -> str:
+    return f"read_parquet('{AUX}/{name}.parquet')"
+
+
+# Shared CTE: tag extraction over a transcripts-shaped table.
+def _x_cte(table_expr: str) -> str:
+    return f"""
+x AS (
+  SELECT *,
+    CASE WHEN regexp_matches(tool, '{_PP}') THEN 'pods'
+         WHEN regexp_matches(tool, '{_CP}') THEN 'containers' END AS branch,
+    CASE WHEN regexp_matches(tool, '{_PP}') THEN regexp_extract(tool, '{_PP}', {_PGI["namespace"]})
+         WHEN regexp_matches(tool, '{_CP}') THEN regexp_extract(tool, '{_CP}', {_CGI["namespace"]}) END AS xns,
+    CASE WHEN regexp_matches(tool, '{_PP}') THEN regexp_extract(tool, '{_PP}', {_PGI["pod_name"]})
+         WHEN regexp_matches(tool, '{_CP}') THEN regexp_extract(tool, '{_CP}', {_CGI["pod_name"]}) END AS xpod,
+    CASE WHEN regexp_matches(tool, '{_PP}') THEN regexp_extract(tool, '{_PP}', {_PGI["container_name"]})
+         WHEN regexp_matches(tool, '{_CP}') THEN regexp_extract(tool, '{_CP}', {_CGI["container_name"]}) END AS xcontainer,
+    CASE WHEN regexp_matches(tool, '{_PP}') THEN regexp_extract(tool, '{_PP}', {_PGI["pod_uuid"]}) END AS xpod_uuid,
+    CASE WHEN NOT regexp_matches(tool, '{_PP}') AND regexp_matches(tool, '{_CP}')
+         THEN regexp_extract(tool, '{_CP}', {_CGI["docker_id"]}) END AS xdocker_id
+  FROM {table_expr}
+)"""
+
+
+# Shared CTE chain: identity -> dim joins -> branch flags.
+# i_* columns may be overridden by the record-carried path (carried=True).
+def _enrich_ctes(table: str, carried: bool = False) -> str:
+    if carried:
+        ident = """
+ident AS (
+  SELECT x.*,
+    CASE WHEN rec_ok THEN k8s_namespace_name ELSE xns END AS ins,
+    CASE WHEN rec_ok THEN k8s_pod_name ELSE xpod END AS ipod,
+    CASE WHEN rec_ok THEN k8s_container_name ELSE xcontainer END AS icontainer,
+    CASE WHEN rec_ok THEN docker_container_id
+         WHEN branch = 'pods' THEN xpod_uuid ELSE xdocker_id END AS icache_key,
+    CASE WHEN rec_ok THEN docker_container_id ELSE xdocker_id END AS idocker_id,
+    (rec_ok OR branch IS NOT NULL) AS imatched
+  FROM (SELECT *,
+          (k8s_namespace_name IS NOT NULL AND k8s_pod_name IS NOT NULL
+           AND k8s_container_name IS NOT NULL AND docker_container_id IS NOT NULL) AS rec_ok
+        FROM x) x
+)"""
+    else:
+        ident = """
+ident AS (
+  SELECT x.*, xns AS ins, xpod AS ipod, xcontainer AS icontainer,
+    CASE WHEN branch = 'pods' THEN xpod_uuid ELSE xdocker_id END AS icache_key,
+    xdocker_id AS idocker_id,
+    (branch IS NOT NULL) AS imatched
+  FROM x
+)"""
+    return f"""
+{_x_cte(_aux(table))},
+{ident},
+pdim AS (SELECT namespace_name pns, pod_name ppod, pod_id p_pod_id, pod_ip p_pod_ip, host p_host FROM {_aux("pods_dim")}),
+ndim AS (SELECT namespace_name nns, namespace_id n_ns_id, creation_timestamp n_created FROM {_aux("namespaces_dim")}),
+cdim AS (SELECT namespace_name cns, pod_name cpod, container_name ccn, image c_image, image_id c_image_id,
+                regexp_replace(container_id, '^[-_a-zA-Z0-9]+://', '') AS c_cid
+         FROM {_aux("pod_containers_dim")}),
+j AS (
+  SELECT ident.*, p_pod_id, p_pod_ip, p_host, n_ns_id, n_created
+  FROM ident
+  LEFT JOIN pdim ON ins = pns AND ipod = ppod
+  LEFT JOIN ndim ON ins = nns
+),
+flags AS (
+  SELECT j.*,
+    (imatched AND p_pod_id IS NOT NULL) AS pod_found,
+    (imatched AND n_ns_id IS NOT NULL) AS ns_found
+  FROM j
+),
+e AS (
+  SELECT flags.*,
+    (pod_found AND ns_found) AS isfull,
+    (NOT pod_found AND ns_found AND n_created <= ts) AS asof_acc,
+    (ns_found AND NOT pod_found) AS ns_meta,
+    (imatched AND NOT ns_found) AS orphan
+  FROM flags
+),
+enriched AS (
+  SELECT conv_id, turn_idx, role, text, ts, p_pod_ip AS pod_ip_raw, isfull, ns_meta, asof_acc, orphan, imatched,
+    CASE WHEN orphan THEN '.orphaned' WHEN imatched THEN ins END AS namespace_name,
+    CASE WHEN imatched THEN ipod END AS pod_name,
+    CASE WHEN imatched THEN icontainer END AS container_name,
+    CASE WHEN orphan THEN ins END AS orphaned_namespace,
+    CASE WHEN orphan THEN 'orphaned' WHEN isfull OR ns_meta THEN n_ns_id END AS namespace_id,
+    CASE WHEN isfull THEN p_pod_id WHEN asof_acc THEN icache_key END AS pod_id,
+    CASE WHEN isfull THEN p_pod_ip END AS pod_ip,
+    CASE WHEN isfull THEN p_host END AS host,
+    CASE WHEN isfull THEN '{MASTER_URL}' END AS master_url,
+    CASE WHEN isfull AND ccn IS NOT NULL THEN c_image END AS container_image,
+    CASE WHEN isfull AND ccn IS NOT NULL AND c_image_id <> '' THEN c_image_id END AS container_image_id,
+    CASE WHEN isfull AND ccn IS NOT NULL AND c_cid <> '' THEN c_cid
+         WHEN imatched AND idocker_id IS NOT NULL AND idocker_id <> '' THEN idocker_id END AS docker_container_id
+  FROM e
+  LEFT JOIN cdim ON e.isfull AND ins = cns AND ipod = cpod AND icontainer = ccn
+)"""
+
+
+def oracle_queries() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    q["parse_containers"] = f"""
+WITH {_x_cte(_aux("transcripts"))}
+SELECT conv_id, turn_idx, xns AS namespace, xpod AS pod_name,
+       xcontainer AS container_name, xdocker_id AS docker_id
+FROM x WHERE branch = 'containers'"""
+
+    q["parse_pods"] = f"""
+WITH {_x_cte(_aux("transcripts"))}
+SELECT conv_id, turn_idx, xns AS namespace, xpod AS pod_name,
+       xcontainer AS container_name, xpod_uuid AS pod_uuid
+FROM x WHERE branch = 'pods'"""
+
+    q["enrich_flat"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT conv_id, turn_idx, namespace_name, pod_name, container_name,
+       orphaned_namespace, pod_id, namespace_id, pod_ip, host, master_url,
+       container_image, container_image_id, docker_container_id
+FROM enriched"""
+
+    q["route_counts"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT COALESCE(namespace_name, '__passthrough__') AS sink,
+       COUNT(*) AS n_rows
+FROM enriched GROUP BY 1"""
+
+    q["sink_role_counts"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT COALESCE(namespace_name, '__passthrough__') AS sink, role,
+       COUNT(*) AS n_rows
+FROM enriched GROUP BY 1, 2"""
+
+    q["orphan_counts"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT orphaned_namespace, COUNT(*) AS n_rows
+FROM enriched WHERE orphaned_namespace IS NOT NULL GROUP BY 1"""
+
+    q["asof_branch"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT conv_id, turn_idx, namespace_name, pod_name, pod_id, namespace_id
+FROM enriched
+WHERE namespace_id IS NOT NULL AND namespace_id <> 'orphaned' AND pod_ip IS NULL"""
+
+    q["record_override"] = f"""
+WITH {_enrich_ctes("transcripts_carried", carried=True)}
+SELECT conv_id, turn_idx, namespace_name, pod_name, container_name,
+       pod_id, namespace_id, docker_container_id
+FROM enriched"""
+
+    q["pod_labels"] = f"""
+WITH {_enrich_ctes("transcripts")},
+plab AS (SELECT namespace_name lns, pod_name lpod,
+                string_agg(key || '=' || value, ',' ORDER BY key) AS labels_str
+         FROM {_aux("pod_labels_dim")} GROUP BY 1, 2),
+nlab AS (SELECT namespace_name lns2,
+                string_agg(key || '=' || value, ',' ORDER BY key) AS ns_labels_str
+         FROM {_aux("ns_labels_dim")} GROUP BY 1)
+SELECT DISTINCT e.namespace_name, e.pod_name,
+       COALESCE(labels_str, '') AS labels_str,
+       COALESCE(ns_labels_str, '') AS ns_labels_str
+FROM enriched e
+LEFT JOIN plab ON e.namespace_name = lns AND e.pod_name = lpod
+LEFT JOIN nlab ON e.namespace_name = lns2
+WHERE e.pod_ip IS NOT NULL"""
+
+    q["annotations_filtered"] = f"""
+WITH {_enrich_ctes("transcripts")},
+pann AS (SELECT namespace_name ans, pod_name apod,
+                string_agg(key || '=' || value, ',' ORDER BY key) AS annotations_str
+         FROM {_aux("pod_annotations_dim")}
+         WHERE regexp_matches(key, 'custom.+') OR regexp_matches(key, '^field')
+         GROUP BY 1, 2),
+nann AS (SELECT namespace_name ans2,
+                string_agg(key || '=' || value, ',' ORDER BY key) AS ns_annotations_str
+         FROM {_aux("ns_annotations_dim")}
+         WHERE regexp_matches(key, 'custom.+') OR regexp_matches(key, '^field')
+         GROUP BY 1)
+SELECT DISTINCT e.namespace_name, e.pod_name,
+       COALESCE(annotations_str, '') AS annotations_str,
+       COALESCE(ns_annotations_str, '') AS ns_annotations_str
+FROM enriched e
+LEFT JOIN pann ON e.namespace_name = ans AND e.pod_name = apod
+LEFT JOIN nann ON e.namespace_name = ans2
+WHERE e.pod_ip IS NOT NULL"""
+
+    # skip_namespace_metadata: no ns join; pod hit -> pod meta, else base
+    q["skip_ns_meta"] = f"""
+WITH {_x_cte(_aux("transcripts"))},
+ident AS (
+  SELECT x.*, xns AS ins, xpod AS ipod, (branch IS NOT NULL) AS imatched FROM x
+),
+pdim AS (SELECT namespace_name pns, pod_name ppod, pod_id p_pod_id FROM {_aux("pods_dim")}),
+j AS (SELECT ident.*, p_pod_id FROM ident LEFT JOIN pdim ON ins = pns AND ipod = ppod)
+SELECT conv_id, turn_idx,
+       CASE WHEN imatched THEN ins END AS namespace_name,
+       CASE WHEN imatched THEN ipod END AS pod_name,
+       CASE WHEN imatched AND p_pod_id IS NOT NULL THEN p_pod_id END AS pod_id,
+       CAST(NULL AS VARCHAR) AS namespace_id,
+       CASE WHEN imatched AND p_pod_id IS NOT NULL THEN '{MASTER_URL}' END AS master_url
+FROM j"""
+
+    q["stable_order"] = f"""
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_seq
+FROM {_aux("transcripts")}"""
+
+    q["container_correlation"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT DISTINCT namespace_name, pod_name, container_name, container_image,
+       container_image_id, docker_container_id
+FROM enriched WHERE container_image IS NOT NULL"""
+
+    q["prefix_strip"] = f"""
+SELECT namespace_name, pod_name, container_name,
+       regexp_replace(container_id, '^[-_a-zA-Z0-9]+://', '') AS container_id_stripped
+FROM {_aux("pod_containers_dim")}"""
+
+    q["per_conv_stats"] = f"""
+WITH {_enrich_ctes("transcripts")}
+SELECT conv_id, COUNT(*) AS n_turns, CAST(MAX(turn_idx) AS INT) AS max_turn_idx,
+       COUNT(DISTINCT namespace_name) AS n_sinks
+FROM enriched GROUP BY 1"""
+
+    # ------------------------------------------- training-data ops
+    q["dedup_exact"] = """
+WITH d AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 8), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM d"""
+
+    q["token_stats"] = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       floor(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+             / len(regexp_split_to_array(trim(text), '\\s+')) * 10000) / 10000 AS avg_token_len
+FROM documents"""
+
+    stop_list = "'the','a','of','and','to','in','is','on','for','with'"
+    q["quality"] = f"""
+SELECT doc_id,
+       floor((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+             / length(text) * 10000) / 10000 AS punct_ratio,
+       floor(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t IN ({stop_list}))) * 1.0
+             / len(regexp_split_to_array(lower(trim(text)), '\\s+')) * 10000) / 10000
+         AS stopword_ratio,
+       length(text) >= 100 AS len_ok
+FROM documents"""
+
+    q["langid"] = """
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 t -> t IN ('the','a','of'))) >= 1
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents"""
+
+    q["fingerprint"] = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+)
+SELECT doc_id, md5(norm) AS doc_fp,
+       CAST(greatest(len(string_split(norm, ' ')) - 4, 0) AS BIGINT) AS n_shingles5
+FROM n"""
+
+    q["ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.55"""
+
+    q["ann_topk"] = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, v AS cv, nrm AS cn FROM b WHERE vec_id >= 5),
+s AS (
+  SELECT query_id, cand_id,
+         floor(list_dot_product(qv, cv) / (qn * cn) * 10000) / 10000 AS sim
+  FROM q CROSS JOIN c
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
+
+    return q

@@ -1,0 +1,384 @@
+"""Named queries over the engine — the driver-facing surface.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the DuckDB oracle in oracle.py exactly (the driver hashes
+values under sorted column names). Keep every output scalar-typed or a
+deterministic string rendering of nested data; floats go through
+``floor(x*10^k)/10^k`` so both engines bit-agree.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
+from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
+from fluent_plugin_kubernetes_metadata_filter_spark.parse import extract_source_fields
+from fluent_plugin_kubernetes_metadata_filter_spark.route import per_sink_counts, stable_order, salted_repartition
+
+ANNOT_CFG = PipelineConfig(annotation_match=("custom.+", "^field"))
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _fl(col, k: int = 4):
+    """floor-based fixed-point rounding — identical in Spark & DuckDB."""
+    m = 10 ** k
+    return F.floor(col * m) / m
+
+
+def _map_str(m) -> F.Column:
+    """Deterministic 'k=v,k=v' rendering of a map, sorted by key."""
+    return F.array_join(
+        F.array_sort(F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+        ",",
+    )
+
+
+# ------------------------------------------------------------ core parse
+
+def q_parse_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: /var/log/containers tag extraction (filter:58)."""
+    df = extract_source_fields(load_table(spark, sf_dir, "transcripts"))
+    return df.where(F.col("x_branch") == "containers").select(
+        "conv_id",
+        "turn_idx",
+        F.col("x_namespace").alias("namespace"),
+        F.col("x_pod_name").alias("pod_name"),
+        F.col("x_container_name").alias("container_name"),
+        F.col("x_docker_id").alias("docker_id"),
+    )
+
+
+def q_parse_pods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: /var/log/pods tag extraction (filter:57)."""
+    df = extract_source_fields(load_table(spark, sf_dir, "transcripts"))
+    return df.where(F.col("x_branch") == "pods").select(
+        "conv_id",
+        "turn_idx",
+        F.col("x_namespace").alias("namespace"),
+        F.col("x_pod_name").alias("pod_name"),
+        F.col("x_container_name").alias("container_name"),
+        F.col("x_pod_uuid").alias("pod_uuid"),
+    )
+
+
+# ---------------------------------------------------------- core enrich
+
+_FLAT_COLS = [
+    "conv_id",
+    "turn_idx",
+    "namespace_name",
+    "pod_name",
+    "container_name",
+    "orphaned_namespace",
+    "pod_id",
+    "namespace_id",
+    "pod_ip",
+    "host",
+    "master_url",
+    "container_image",
+    "container_image_id",
+    "docker_container_id",
+]
+
+
+def q_enrich_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship O10-O19 enrichment, scalar columns (null == omitted)."""
+    return pipeline.enrich_transcripts(spark, sf_dir).select(*_FLAT_COLS)
+
+
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O22 per-sink routed counts."""
+    return per_sink_counts(pipeline.enrich_transcripts(spark, sf_dir))
+
+
+def q_sink_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed counts by (sink, role) — the per-path counter aggregate."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return df.groupBy(
+        F.coalesce(F.col("namespace_name"), F.lit("__passthrough__")).alias("sink"),
+        "role",
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: orphaned records per original namespace (cache_strategy:58-79)."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return (
+        df.where(F.col("orphaned_namespace").isNotNull())
+        .groupBy(F.col("orphaned_namespace"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_asof_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: pod-miss rows — as-of accept rows carry pod_id=cache_key,
+    reject rows carry none (cache_strategy.rb:46-57)."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return df.where(
+        F.col("namespace_id").isNotNull()
+        & (F.col("namespace_id") != "orphaned")
+        & (F.col("pod_ip").isNull())  # pod dim miss (full hits carry pod_ip)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "namespace_name",
+        "pod_name",
+        "pod_id",
+        "namespace_id",
+    )
+
+
+def q_record_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 on the transcripts_carried fixture: record identity wins when
+    complete, falls back to tag otherwise (filter:384-399)."""
+    df = pipeline.enrich_transcripts(spark, sf_dir, table="transcripts_carried")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "namespace_name",
+        "pod_name",
+        "container_name",
+        "pod_id",
+        "namespace_id",
+        "docker_container_id",
+    )
+
+
+def q_pod_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O20: pod + namespace labels of full-hit rows as sorted k=v
+    strings (exercises the map columns end-to-end)."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return (
+        df.where(F.col("pod_ip").isNotNull())
+        .select(
+            "namespace_name",
+            "pod_name",
+            F.coalesce(_map_str(F.col("labels")), F.lit("")).alias("labels_str"),
+            F.coalesce(_map_str(F.col("namespace_labels")), F.lit("")).alias("ns_labels_str"),
+        )
+        .distinct()
+    )
+
+
+def q_annotations_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17: annotation_match key-regex filtering (common.rb:30-38)."""
+    t = load_table(spark, sf_dir, "transcripts")
+    pods = load_table(spark, sf_dir, "pods_dim")
+    ns = load_table(spark, sf_dir, "namespaces_dim")
+    e = enrich(t, pods, ns, ANNOT_CFG)
+    return (
+        e.where(F.col("pod_ip").isNotNull())
+        .select(
+            "namespace_name",
+            "pod_name",
+            F.coalesce(_map_str(F.col("annotations")), F.lit("")).alias("annotations_str"),
+            F.coalesce(_map_str(F.col("namespace_annotations")), F.lit("")).alias(
+                "ns_annotations_str"
+            ),
+        )
+        .distinct()
+    )
+
+
+def q_skip_ns_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16: skip_namespace_metadata fast path (cache_strategy.rb:34-38)."""
+    t = load_table(spark, sf_dir, "transcripts")
+    pods = load_table(spark, sf_dir, "pods_dim")
+    ns = load_table(spark, sf_dir, "namespaces_dim")
+    e = enrich(t, pods, ns, PipelineConfig(skip_namespace_metadata=True))
+    return e.select(
+        "conv_id", "turn_idx", "namespace_name", "pod_name", "pod_id", "namespace_id", "master_url"
+    )
+
+
+def q_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable (conv_id, turn_idx) ordering under salted repartition —
+    turn_seq must be deterministic (SURVEY.md section 7.4 item 4)."""
+    df = load_table(spark, sf_dir, "transcripts")
+    df = salted_repartition(df, PipelineConfig())
+    return stable_order(df).select("conv_id", "turn_idx", "turn_seq")
+
+
+def q_container_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19: distinct container-status correlation results on full hits."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return (
+        df.where(F.col("container_image").isNotNull())
+        .select(
+            "namespace_name",
+            "pod_name",
+            "container_name",
+            "container_image",
+            "container_image_id",
+            "docker_container_id",
+        )
+        .distinct()
+    )
+
+
+def q_prefix_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: containerID runtime-prefix strip (common.rb:64)."""
+    dim = load_table(spark, sf_dir, "pod_containers_dim")
+    return dim.select(
+        "namespace_name",
+        "pod_name",
+        "container_name",
+        F.regexp_replace(F.col("container_id"), r"^[-_a-zA-Z0-9]+://", "").alias("container_id_stripped"),
+    )
+
+
+def q_per_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate breadth: per-conversation turn counts + sink cardinality."""
+    df = pipeline.enrich_transcripts(spark, sf_dir)
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").cast("int").alias("max_turn_idx"),
+        F.count_distinct(F.col("namespace_name")).alias("n_sinks"),
+    )
+
+
+# ------------------------------------------- training-data ops (documents)
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact/head dedup: md5 fingerprint of the first 8 normalized tokens;
+    keeper = min doc_id per group (hash-groupBy dedup at scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(
+        F.array_join(F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8), " ")
+    )
+    d = docs.select("doc_id", fp.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("keep_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n.cast("bigint").alias("n_tokens"),
+        _fl(F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n, 4).alias("avg_token_len"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, length score."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    )
+    return docs.select(
+        "doc_id",
+        _fl(punct / F.length("text"), 4).alias("punct_ratio"),
+        _fl(stop / n, 4).alias("stopword_ratio"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword-hit count >= 1 -> 'en'
+    (deterministic n-gram-free heuristic; real systems plug a model UDF)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(hits >= 1, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the whitespace-normalized,
+    lowercased text + 5-token shingle count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("doc_fp"),
+        F.greatest(F.size(toks) - F.lit(4), F.lit(0)).cast("bigint").alias("n_shingles5"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup pairs (threshold 0.55). The
+    shuffle key is the shingle, so the self-join distributes; at 100 TB
+    you'd LSH first (minhash) and only Jaccard-verify candidates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # NB: Spark sequence(1, 0) is DESCENDING, not empty — guard short docs
+    shingles = F.when(
+        F.size(tk) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select("doc_id", F.explode(shingles).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", _fl(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+    )
+    return jac.where(F.col("jaccard") >= 0.55).select("id_a", "id_b", "jaccard")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 5) over the
+    embeddings table — the exact baseline an IVF/LSH path approximates.
+    Dot products run JVM-side via zip_with/aggregate (no Python)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select("vec_id", vec_d.alias("v"), norm.alias("nrm"))
+    q = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = base.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = q.crossJoin(cand).select(
+        "query_id", "cand_id", _fl(dot / (F.col("qn") * F.col("cn")), 4).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
