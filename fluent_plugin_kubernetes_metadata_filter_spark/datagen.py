@@ -37,7 +37,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GEN_VERSION = 8  # bump to force regeneration of /root/repo/data
+GEN_VERSION = 9  # bump to force regeneration of /root/repo/data
+
+# Small row groups so Spark's file splitter can parallelize a single
+# local parquet file (splits only land on row-group boundaries).
+ROW_GROUP_SIZE = 65536
 
 _UUID_NS = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")
 
@@ -349,7 +353,11 @@ def generate_sf(out_dir: str, sf_name: str) -> None:
             "ts": pa.array(ts, pa.timestamp("us")),
         }
     )
-    pq.write_table(transcripts, os.path.join(out_dir, "transcripts.parquet"))
+    pq.write_table(
+        transcripts,
+        os.path.join(out_dir, "transcripts.parquet"),
+        row_group_size=ROW_GROUP_SIZE,
+    )
 
     _write_dims(out_dir, ns_rows, pod_rows)
     _write_carried(out_dir, pod_rows, rng)

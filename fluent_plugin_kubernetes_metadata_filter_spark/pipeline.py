@@ -21,7 +21,7 @@ from fluent_plugin_kubernetes_metadata_filter_spark.enrich import (
 from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table, write_routed
 from fluent_plugin_kubernetes_metadata_filter_spark.route import (
     per_sink_counts,
-    salted_repartition,
+    route_partition,
     stable_order,
 )
 
@@ -43,10 +43,13 @@ def routed_output(spark: SparkSession, sf_dir: str,
     """Enriched rows in emit shape: structs assembled, stable order."""
     df = enrich_transcripts(spark, sf_dir, cfg)
     df = assemble_structs(df)
-    df = salted_repartition(df, cfg)
+    # order first (window shuffles on conv_id), THEN the salted route
+    # shuffle — the reverse order would let the window exchange undo the
+    # salt right before the write
     df = stable_order(df)
     keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
-    return df.select(*keep)
+    df = df.select(*keep)
+    return route_partition(df, cfg, cfg.route_column)
 
 
 def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,

@@ -34,6 +34,28 @@ def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.drop("_salt")
 
 
+def route_partition(df: DataFrame, cfg: PipelineConfig,
+                    route_column: str = "namespace_name") -> DataFrame:
+    """Physical layout for the fan-out write: shuffle on
+    (route_key, conv_salt) and sort within partitions.
+
+    - clustering by route key means each write task emits files for only
+      a few sink directories (not sinks x tasks small files);
+    - the conv-level salt splits a HOT sink (one namespace dominating the
+      table — the 'hot pod' in the reference's world) across
+      ``salt_buckets`` tasks instead of melting one writer;
+    - salting by conv_id (not turn_idx) keeps a conversation's turns in
+      ONE task, so the within-partition sort yields contiguous, ordered
+      conversation runs in every output file.
+    """
+    salt = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.salt_buckets))
+    df = df.withColumn("_salt", salt)
+    n = cfg.shuffle_partitions
+    key = F.coalesce(F.col(route_column), F.lit("__null__"))
+    df = df.repartition(n, key, F.col("_salt")) if n else df.repartition(key, F.col("_salt"))
+    return df.sortWithinPartitions(route_column, "conv_id", "turn_idx").drop("_salt")
+
+
 def stable_order(df: DataFrame) -> DataFrame:
     """Logical per-conversation ordering: turn_seq = row_number over
     (conv_id ordered by turn_idx). Deterministic regardless of physical
