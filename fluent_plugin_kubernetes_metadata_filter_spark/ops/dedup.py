@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame, Window
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
+# 2^31-1 (Mersenne prime). Shingle hashes and permutation coefficients
+# stay below 2^31 so a*h+b fits in int64 under ANSI arithmetic.
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(n: int = N_PERM, seed: int = 42):
@@ -79,8 +81,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     n_perm min-aggregates (one shuffle, map-side combined)."""
     a, b = _perm_params(n_perm, seed)
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
-    # 32-bit shingle hash (xxhash64 folded) keeps a*h+b inside int64
-    h = F.pmod(F.xxhash64(F.col("sh")), F.lit(1 << 32))
+    # 31-bit shingle hash (xxhash64 folded) keeps a*h+b inside int64
+    h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
     aggs = [
         F.min(F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"m{i}")
         for i in range(n_perm)

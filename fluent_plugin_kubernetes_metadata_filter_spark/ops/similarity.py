@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- brute_force_topk: exact cosine top-k. Dot products are JVM expressions
+  (zip_with + aggregate) — no Python in the loop. The candidate side is
+  broadcast when small; for query batches the cross join distributes over
+  candidate partitions, so the work is (|Q| x |C|) / cluster, the right
+  baseline to verify any ANN index against.
+- lsh_topk: random-hyperplane LSH (sign of h deterministic projections,
+  seeded) -> bucket join on band signatures -> exact cosine re-rank of
+  candidates only. Recall is tunable via n_planes/n_bands; at 100 TB the
+  bucket join replaces the full cross product with a shuffle keyed on
+  uniformly-distributed signatures.
+
+Also embedding_neardup: pairs with cosine >= threshold via the same LSH
+bucketing — the embedding-space near-dup detector for training-data
+pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(v) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     broadcast_candidates: bool = False) -> DataFrame:
+    """Exact cosine top-k: (query_id, cand_id, sim, rank). Deterministic
+    tie-break on cand_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    sims = q.crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _plane_literals(dim: int, n_planes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).round(6).tolist()
+
+
+def signature_bits(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Append a bigint LSH signature: bit i = sign(v . plane_i).
+    Planes are deterministic literals compiled into the expression tree —
+    shipped once with the plan, not per row."""
+    planes = _plane_literals(dim, n_planes, seed)
+    v = _as_double(F.col(vec_col))
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return df.withColumn("lsh_sig", sig)
+
+
+def _bands(sig_col, n_bands: int, bits_per_band: int) -> F.Column:
+    mask = (1 << bits_per_band) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sig_col, i * bits_per_band).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> DataFrame:
+    """ANN top-k: bucket join on LSH bands, exact cosine on candidates.
+    Returns (query_id, cand_id, sim, rank) — a subset of brute force with
+    recall < 1 (tested against the exact baseline)."""
+    bits = n_planes // n_bands
+    q = signature_bits(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(_bands(F.col("lsh_sig"), n_bands, bits)).alias("b"),
+    ).select("query_id", "qv", "b.band", "b.bv")
+    c = signature_bits(candidates, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.explode(_bands(F.col("lsh_sig"), n_bands, bits)).alias("b"),
+    ).select("cand_id", "cv", "b.band", "b.bv")
+    cand_pairs = (
+        q.join(c, ["band", "bv"])
+        .select("query_id", "cand_id", "qv", "cv")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    sims = cand_pairs.select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold)
+    via LSH bucketing + exact verification."""
+    bits = n_planes // n_bands
+    s = signature_bits(df, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.explode(_bands(F.col("lsh_sig"), n_bands, bits)).alias("b"),
+    ).select("vid", "v", "b.band", "b.bv")
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.withColumn("sim", sim).where(F.col("sim") >= threshold).select(
+        "id_a", "id_b", "sim"
+    )

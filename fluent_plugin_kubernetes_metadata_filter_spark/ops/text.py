@@ -1,0 +1,106 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All expression-only (whole-stage codegen); the
+BPE-ish tokenizer uses one regex, not a Python loop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Tiny per-language stopword profiles for the n-gram-free heuristic.
+_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "una", "de"),
+}
+
+# GPT-style pre-tokenizer regex (public BPE pattern family): words with
+# optional leading space, numbers, punctuation runs.
+BPE_ISH = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def tokens(text_col) -> F.Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regexp-based)."""
+    tk = tokens(F.col(text_col))
+    bpe = F.array_remove(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0), "")
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.size(tk).cast("bigint"),
+            "n_tokens_bpe": F.size(bpe).cast("bigint"),
+            "n_chars": F.length(text_col).cast("bigint"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality: length, punctuation ratio, stopword ratio,
+    mean word length, repetition (distinct/total tokens)."""
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    stop = F.size(F.filter(tk, lambda t: t.isin(*_PROFILES["en"])))
+    punct = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+    distinct_ratio = F.size(F.array_distinct(tk)) / n
+    df = df.withColumns(
+        {
+            "punct_ratio": punct / F.length(text_col),
+            "stopword_ratio": stop / n,
+            "mean_word_len": F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n,
+            "distinct_token_ratio": distinct_ratio,
+        }
+    )
+    # composite in [0,1]: long enough, some stopwords, not too much
+    # punctuation, not degenerate repetition
+    score = (
+        F.least(F.length(text_col) / 500.0, F.lit(1.0)) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + F.least(F.col("distinct_token_ratio") * 1.5, F.lit(1.0)) * 0.3
+    )
+    return df.withColumn("quality_score", score)
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score = hits per profile, argmax
+    wins (ties -> 'unk'). One pass, pure expressions."""
+    tk = tokens(F.col(text_col))
+
+    def hit_counter(ws):
+        return lambda t: t.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(tk, hit_counter(ws))) for lang, ws in _PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unk")
+    # reversed so earlier profiles win exact ties deterministically
+    for lang in reversed(list(_PROFILES)):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+    """Doc fingerprint: md5 of normalized text + a winnowed shingle-hash
+    minimum (rolling-hash flavored, expression-only)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tk = F.split(norm, " ")
+    sh = F.when(
+        F.size(tk) >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (shingle_k - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(shingle_k)])
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(norm)))
+    return df.withColumns(
+        {
+            "doc_fp": F.md5(norm),
+            "min_shingle_hash": F.array_min(sh),
+        }
+    )

@@ -1,0 +1,119 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md O1/O3/O24-O25).
+
+The reference maintains its caches with long-lived K8s watch connections
+(kubernetes_metadata_watch_pods.rb:160-204) mutating shared LRU state
+while the filter thread reads it. The Spark re-expression:
+
+- the event stream is a ``readStream`` over the transcripts source;
+- the dimensions are STATIC tables re-read inside ``foreachBatch`` every
+  micro-batch — each batch sees one consistent dim snapshot (snapshot
+  isolation replaces the thread-safe cache), and a dim row updated
+  between batches is picked up on the next batch, which is exactly the
+  watch-MODIFIED upsert semantics (O24);
+- DELETED notices are ignored by the reference (watch_pods.rb:182-186)
+  so late records still enrich — keeping deleted rows in the dim
+  snapshot gives the same behavior; TTL eviction becomes a
+  ``last_seen >= now - ttl`` predicate on the dim view (O25);
+- checkpointLocation + idempotent per-batch writes replace the
+  retry/backoff ladder (O26).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+import pyspark.sql.types as T
+
+from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
+from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 4,
+                           glob: str = "transcripts.parquet") -> DataFrame:
+    """File-source stream over a transcripts directory (the file source
+    requires a directory; ``glob`` selects the transcript files)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+
+
+def enrich_stream(stream_df: DataFrame, dims_loader: Callable[[], tuple[DataFrame, DataFrame]],
+                  sink: Callable[[DataFrame, int], None],
+                  cfg: PipelineConfig = PipelineConfig(),
+                  checkpoint_dir: str | None = None) -> StreamingQuery:
+    """foreachBatch enrichment with per-batch dim refresh.
+
+    ``dims_loader`` is called every micro-batch and must return fresh
+    (pods_dim, namespaces_dim) DataFrames — the O3 watch-CDC analogue.
+    ``sink(batch_df, batch_id)`` owns the write (idempotent by batch_id
+    for exactly-once)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pods, ns = dims_loader()
+        out = enrich(batch_df, pods, ns, cfg)
+        sink(out, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def windowed_sink_counts(stream_df: DataFrame,
+                         dims_loader: Callable[[], tuple[DataFrame, DataFrame]],
+                         cfg: PipelineConfig = PipelineConfig(),
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes",
+                         query_name: str = "sink_counts") -> StreamingQuery:
+    """Continuous per-sink counts over event-time windows with a
+    watermark for late turns (the streaming analogue of the stats dump,
+    O22/O23). Uses a stream-static join: the static side is resolved per
+    micro-batch, giving the dim-refresh semantics without foreachBatch."""
+    pods, ns = dims_loader()
+    enriched = enrich(stream_df, pods, ns, cfg)
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.coalesce(F.col("namespace_name"), F.lit("__passthrough__")).alias("sink"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def default_dims_loader(spark: SparkSession, sf_dir: str):
+    base = aux_dir(sf_dir)
+
+    def load():
+        return (
+            spark.read.parquet(f"{base}/pods_dim.parquet"),
+            spark.read.parquet(f"{base}/namespaces_dim.parquet"),
+        )
+
+    return load

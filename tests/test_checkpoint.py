@@ -1,0 +1,74 @@
+"""Resumability: lineage manifest + skip of completed sinks."""
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+from fluent_plugin_kubernetes_metadata_filter_spark.checkpoint import (
+    LineageManifest,
+    input_snapshot_id,
+    resumable_fanout_write,
+)
+from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_id_stable(spark):
+    base = aux_dir(SF)
+    a = input_snapshot_id(spark, base)
+    b = input_snapshot_id(spark, base)
+    assert a == b and len(a) == 32
+
+
+def test_resumable_write_skips_completed(spark):
+    df = pipeline.enrich_transcripts(spark, SF).select(
+        "conv_id", "turn_idx", "text", "namespace_name"
+    )
+    out = tempfile.mkdtemp(prefix="ckpt-out-")
+    mdir = tempfile.mkdtemp(prefix="ckpt-manifest-")
+    manifest = LineageManifest(mdir)
+    snap = input_snapshot_id(spark, aux_dir(SF))
+
+    first = resumable_fanout_write(df, out, manifest, snap, sink_batch=50)
+    assert len(first) > 0
+    total_rows = sum(r.rows for r in first)
+    assert total_rows == df.count()
+
+    # second run: everything already recorded -> nothing written
+    second = resumable_fanout_write(df, out, manifest, snap, sink_batch=50)
+    assert second == []
+
+    # a different snapshot id is NOT considered complete
+    third = resumable_fanout_write(df, out, manifest, "other-snap", sink_batch=50)
+    assert len(third) == len(first)
+
+    # manifest survives as JSONL
+    lines = open(os.path.join(mdir, "lineage.jsonl")).read().strip().splitlines()
+    assert len(lines) == len(first) + len(third)
+
+
+def test_partial_resume(spark):
+    """Simulate a crash: pre-record half the sinks, run resumes the rest."""
+    df = pipeline.enrich_transcripts(spark, SF).select("conv_id", "turn_idx", "namespace_name")
+    out = tempfile.mkdtemp(prefix="ckpt-out-")
+    mdir = tempfile.mkdtemp(prefix="ckpt-manifest-")
+    manifest = LineageManifest(mdir)
+    snap = "snap-x"
+
+    sinks = [
+        r[0]
+        for r in df.select(
+            F.coalesce("namespace_name", F.lit("__HIVE_DEFAULT_PARTITION__"))
+        ).distinct().collect()
+    ]
+    from fluent_plugin_kubernetes_metadata_filter_spark.checkpoint import LineageRecord
+
+    pre = sorted(sinks)[: len(sinks) // 2]
+    for s in pre:
+        manifest.record(LineageRecord(s, 0, snap, 0.0, 0.0))
+
+    rest = resumable_fanout_write(df, out, manifest, snap, sink_batch=100)
+    assert {r.sink for r in rest} == set(sinks) - set(pre)

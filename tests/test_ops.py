@@ -1,0 +1,197 @@
+"""Tests for training-data operators: dedup, similarity, text, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup, similarity, text as textops
+from fluent_plugin_kubernetes_metadata_filter_spark.ops import multimodal
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Documents plus exact copies and near-copies with known ids."""
+    base = docs.limit(20).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+    )
+    return base.union(exact).union(near)
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs_with_dups):
+    r = dedup.exact_dedup(docs_with_dups)
+    dups = {x.doc_id for x in r.where("is_dup").collect()}
+    assert dups == {i + 10000 for i in range(20)}
+    keep = dict((x.doc_id, x.keep_id) for x in r.collect())
+    assert keep[10005] == 5 and keep[5] == 5
+    assert not any(k >= 20000 for k in dups)  # near-copies are not exact dups
+
+
+def test_minhash_finds_near_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_dedup(docs_with_dups, threshold=0.5)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    # every exact copy pair must be found (jaccard 1.0 -> all bands agree)
+    for i in range(20):
+        assert (i, i + 10000) in got
+    # near copies (one appended shingle) should mostly be found
+    near_found = sum((i, i + 20000) in got for i in range(20))
+    assert near_found >= 15
+    # jaccard values are exact (verification step)
+    exact_pair = pairs.where((F.col("id_a") == 0) & (F.col("id_b") == 10000)).collect()[0]
+    assert exact_pair.jaccard == 1.0
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = dedup.minhash_signatures(docs.limit(5))
+    rows = sigs.collect()
+    assert all(len(r.sig) == dedup.N_PERM for r in rows)
+    # deterministic across runs
+    again = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs.limit(5)).collect()}
+    assert all(again[r.doc_id] == r.sig for r in rows)
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    hashes = dedup.simhash64(docs_with_dups)
+    pairs = dedup.simhash_pairs(hashes, max_hamming=3)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    for i in range(20):
+        assert (i, i + 10000) in got  # identical text -> hamming 0
+    h = {r.doc_id: r.simhash for r in hashes.collect()}
+    assert h[0] == h[10000]
+
+
+def test_propagate_min_keeper(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
+    keep = {r.doc_id: r.keep_id for r in dedup.propagate_min_keeper(pairs, ids).collect()}
+    assert keep == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 99: 99}
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_self_is_nearest(spark, emb):
+    q = emb.where("vec_id < 3")
+    r = similarity.brute_force_topk(q, emb, k=1)
+    for row in r.collect():
+        assert row.cand_id == row.query_id  # cosine(v, v) = 1
+        assert abs(row.sim - 1.0) < 1e-9
+
+
+def test_lsh_topk_recall_against_exact(spark, emb):
+    q = emb.where("vec_id < 20")
+    c = emb.where("vec_id >= 20")
+    exact = similarity.brute_force_topk(q, c, k=5)
+    approx = similarity.lsh_topk(q, c, dim=64, k=5, n_planes=16, n_bands=8)
+    ex = {(r.query_id, r.cand_id) for r in exact.collect()}
+    ap = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # every approx sim must equal the exact sim for the same pair
+    exact_sims = {(r.query_id, r.cand_id): r.sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.cand_id) in exact_sims:
+            assert abs(r.sim - exact_sims[(r.query_id, r.cand_id)]) < 1e-9
+
+
+def test_embedding_neardup_finds_planted(spark, emb):
+    # plant: copy of vec 7 (cosine 1.0) and a scaled copy (cosine 1.0)
+    import pyspark.sql.functions as F
+
+    v7 = emb.where("vec_id = 7").select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    scaled = emb.where("vec_id = 7").select(
+        F.lit(9002).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    df = emb.union(v7).union(scaled)
+    pairs = similarity.embedding_neardup(df, dim=64, threshold=0.999)
+    got = {(p.id_a, p.id_b) for p in pairs.collect()}
+    assert (7, 9001) in got and (7, 9002) in got and (9001, 9002) in got
+
+
+# ------------------------------------------------------------ text ops
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, it's 42 degrees!")], "id long, text string")
+    r = textops.token_counts(df).collect()[0]
+    assert r.n_tokens_ws == 5
+    assert r.n_chars == 29
+    assert r.n_tokens_bpe >= 7  # words + number + punctuation runs
+
+
+def test_quality_score_ranges(spark, docs):
+    r = textops.quality_score(docs.limit(50))
+    rows = r.collect()
+    assert all(0.0 <= x.quality_score <= 1.0 for x in rows)
+    assert all(0.0 <= x.punct_ratio <= 1.0 for x in rows)
+
+
+def test_langid_beats_chance(spark, docs):
+    """Synthetic docs are word salads; just require: deterministic,
+    valid labels, and 'the/a/of'-bearing docs classified en."""
+    r = textops.langid(docs).select("doc_id", "lang", "lang_pred")
+    rows = r.collect()
+    assert all(x.lang_pred in ("en", "de", "fr", "es", "unk") for x in rows)
+    again = textops.langid(docs).select("doc_id", "lang_pred").collect()
+    assert {(x.doc_id, x.lang_pred) for x in again} == {(x.doc_id, x.lang_pred) for x in rows}
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a  b   c d e   f"), (3, "totally different words here now ok")],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in textops.fingerprint(df).collect()}
+    assert rows[1].doc_fp == rows[2].doc_fp  # whitespace-normalized
+    assert rows[1].doc_fp != rows[3].doc_fp
+    assert rows[1].min_shingle_hash == rows[2].min_shingle_hash
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.feature)
+    assert all(r.n_bytes > 0 for r in rows)
+    # deterministic
+    again = multimodal.extract_features(media, decoder=multimodal.fake_decoder).collect()
+    assert {r.media_id: r.payload_hash for r in again} == {
+        r.media_id: r.payload_hash for r in rows
+    }
+
+
+def test_multimodal_stub_raises_without_decoder(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert len(rows) > 0
+    assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
+    one = [r.frame_ts_ms for r in rows if r.media_id == 2]
+    assert one == sorted(one) and one[0] == 0
