@@ -47,6 +47,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q.q_fingerprint,
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash": q.q_simhash,
+        "neardup_brute": q.q_neardup_brute,
+        "lsh_neardup": q.q_lsh_neardup,
+        "quality_full": q.q_quality_full,
+        "langid_profiles": q.q_langid_profiles,
+        "token_bpe": q.q_token_bpe,
     }
 
 

@@ -342,4 +342,59 @@ r AS (
 )
 SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
 
+    q.update(_ops_oracles())
+    return q
+
+
+def _ops_oracles() -> dict[str, str]:
+    """Oracles for the SQL-expressible ops queries. MinHash/SimHash/LSH
+    queries have NO oracle (xxhash64 has no DuckDB equivalent) — the
+    driver records rows-only checks and the planted-duplicate tests in
+    tests/test_ops.py carry the exactness burden."""
+    q: dict[str, str] = {}
+
+    q["neardup_brute"] = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id id_a, c.vec_id id_b,
+         floor(list_dot_product(a.v, c.v) / (a.nrm * c.nrm) * 10000) / 10000 AS sim
+  FROM b a JOIN b c ON a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.2"""
+
+    # argmax over stopword profiles; WHEN order = en,de,fr,es (ties -> en)
+    prof = {
+        "en": ("the", "a", "of", "and", "to", "is", "in"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+        "fr": ("le", "la", "les", "et", "est", "une", "des"),
+        "es": ("el", "la", "los", "y", "es", "una", "de"),
+    }
+    hits = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in prof.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'" for lang in prof
+    )
+    q["langid_profiles"] = f"""
+WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
+SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""
+
+    bpe = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    bpe_sql = bpe.replace("'", "''")
+    q["token_bpe"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(list_filter(regexp_extract_all(text, '{bpe_sql}'), t -> t <> '')) AS BIGINT) AS n_tokens_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
     return q

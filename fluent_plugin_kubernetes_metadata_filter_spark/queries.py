@@ -382,3 +382,85 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "cand_id", "sim", "rank")
     )
+
+
+# ------------------------------- ops queries (LSH/minhash: rows-only —
+# xxhash64-based hashing has no DuckDB equivalent, so the driver records
+# the weaker rows-only check; the *verified* outputs are exact-tested in
+# tests/test_ops.py against planted duplicates)
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact Jaccard verification."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_dedup(docs, threshold=0.5)
+    return pairs.select("id_a", "id_b", _fl(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (deterministic; rows-only check)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash64(docs)
+
+
+def q_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.2 on synthetic
+    clustered embeddings) — the oracle-checked baseline for the LSH path."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = _fl(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= 0.2)
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (subset of q_neardup_brute;
+    rows-only — recall tested against the exact baseline in tests)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_neardup(emb, dim=64, threshold=0.2, n_planes=16, n_bands=8)
+    return pairs.select("id_a", "id_b", _fl(F.col("sim"), 4).alias("sim"))
+
+
+def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + component ratios (rows-only; component
+    ratios are oracle-checked separately in q_quality)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_score(docs)
+    return out.select(
+        "doc_id",
+        _fl(F.col("quality_score"), 4).alias("quality_score"),
+        _fl(F.col("distinct_token_ratio"), 4).alias("distinct_token_ratio"),
+    )
+
+
+def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language stopword-profile language ID (argmax over profiles)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import langid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts (regexp pre-tokenizer)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars")
