@@ -1,0 +1,78 @@
+"""Scaling-efficiency evidence (BASELINE.json): run the SAME enrich+route
+job at two parallelism levels (local[N] and local[4N]) on the same input
+and report throughput at both plus efficiency = (T_4N / T_N) / 4.
+
+Each level runs in a fresh subprocess (own JVM) so executor-thread count
+is the only variable. Prints one JSON line; use --update-baseline to
+append the table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SMALL = int(os.environ.get("SCALE_N", "8"))
+REPEAT = int(os.environ.get("SCALE_REPEAT", "2"))
+
+CHILD = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
+from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
+
+cpus, sf_dir, repeat = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = build_session(app=f"scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+n = load_table(spark, sf_dir, "transcripts").count()  # warm JVM + aux data
+best = None
+for _ in range(repeat):
+    out = tempfile.mkdtemp(prefix="scale-out-")
+    t0 = time.time()
+    pipeline.run(spark, sf_dir, out_dir=out).collect()
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_turns": n, "sec": round(best, 3),
+                  "tps": round(n / best, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), SF_DIR, str(REPEAT)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main():
+    small = run_level(N_SMALL)
+    big = run_level(N_SMALL * 4)
+    eff = (big["tps"] / small["tps"]) / 4
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(T_{N_SMALL*4} / T_{N_SMALL}) / 4",
+        "small": small,
+        "big": big,
+        "sf": SF_DIR,
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        with open("/root/repo/BENCH_SCALING.json", "w") as fh:
+            json.dump(result, fh, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
