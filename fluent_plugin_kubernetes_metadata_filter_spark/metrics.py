@@ -1,0 +1,56 @@
+"""Pipeline stats with the reference's counter vocabulary
+(kubernetes_metadata_stats.rb:26-45; dump_stats filter:131-144 — O22/O23).
+
+The reference bumps named counters per record per path and dumps them on
+an interval. In Spark the counters are ``observe`` aggregates computed
+inline with whichever action consumes the DataFrame (no second pass),
+and the dump is a dict you log/emit wherever the job reports.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation
+
+
+# counter name -> aggregate over the enriched frame; names mirror the
+# bump sites in the reference (cache_strategy.rb:28,48,63,66; filter:109)
+def _counters() -> dict[str, F.Column]:
+    matched = F.col("i_matched")
+    full = F.col("pod_ip").isNotNull()
+    orphaned = F.col("orphaned_namespace").isNotNull()
+    ns_only = F.col("namespace_id").isNotNull() & (F.col("namespace_id") != "orphaned") & ~full
+    return {
+        "events_total": F.count(F.lit(1)),
+        "pod_enriched": F.count(F.when(full, 1)),
+        # pod dim miss with ns found — the id_cache_pod_not_found_namespace path
+        "id_cache_pod_not_found_namespace": F.count(F.when(ns_only, 1)),
+        "id_cache_orphaned_record": F.count(F.when(orphaned, 1)),
+        "passthrough": F.count(F.when(~matched, 1)),
+        "pod_id_resolved": F.count(F.col("pod_id")),
+        "namespace_id_resolved": F.count(F.col("namespace_id")),
+    }
+
+
+class PipelineStats:
+    """Attach counters to an enriched DataFrame; read after an action."""
+
+    def __init__(self) -> None:
+        self._obs = Observation("k8s_meta_pipeline_stats")
+        self._t0 = time.time()
+
+    def attach(self, enriched_df: DataFrame) -> DataFrame:
+        cols = [v.alias(k) for k, v in _counters().items()]
+        return enriched_df.observe(self._obs, *cols)
+
+    def dump(self) -> dict:
+        """The dump_stats analogue: counters + wall time, JSON-able."""
+        vals = dict(self._obs.get)
+        vals["wall_time_sec"] = round(time.time() - self._t0, 3)
+        return vals
+
+    def dump_json(self) -> str:
+        return json.dumps(self.dump(), sort_keys=True)

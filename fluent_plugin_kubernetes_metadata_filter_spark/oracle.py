@@ -343,6 +343,7 @@ r AS (
 SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
 
     q.update(_ops_oracles())
+    q.update(_event_oracles())
     return q
 
 
@@ -397,4 +398,38 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents"""
 
+    return q
+
+
+def _event_oracles() -> dict[str, str]:
+    q: dict[str, str] = {}
+    q["events_json"] = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS INT) AS props_k
+FROM events"""
+
+    q["events_window"] = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       floor(SUM(value) * 10000) / 10000 AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    q["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2"""
     return q

@@ -464,3 +464,62 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars")
+
+
+# ------------------------------------------------ log/event stream queries
+# (the reference is a log pipeline; the driver's events table carries a
+# JSON props column — grok/JSON parse + windowed aggregates are the
+# telemetry-side capabilities, SURVEY.md O22/O23)
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (from_json with explicit schema — the
+    structured-log analogue of the tag parse)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        "event_type",
+        parsed["k"].alias("props_k"),
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregates per event_type (1 hour) —
+    the stats-interval dump as a batch query."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "1 hour")
+    return ev.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _fl(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization per user: gap > 30 min starts a new session
+    (lag + cumulative sum — the classic composition)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; go via timestamp (session tz = UTC) for epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    df = ev.withColumn("new_sess", new_sess)
+    sess_id = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        df.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
