@@ -159,3 +159,108 @@ def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
     return pairs.withColumn("sim", sim).where(F.col("sim") >= threshold).select(
         "id_a", "id_b", "sim"
     )
+
+
+# --------------------------------------------------------------- IVF
+
+def kmeans_centroids(df: DataFrame, dim: int, k: int = 16, n_iter: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42) -> list[list[float]]:
+    """Deterministic coarse quantizer: k seed centroids picked by id hash,
+    refined with ``n_iter`` Lloyd steps run as DataFrame aggregations
+    (groupBy assigned-centroid -> avg per dimension). Returns plain
+    Python lists so callers can compile them into expressions.
+
+    Driver-side state is k x dim floats — tiny; the per-iteration work is
+    one shuffle keyed by centroid id (k keys, salted by AQE if skewed).
+    """
+    v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v"))
+    # deterministic seeds: the k smallest md5(id) values
+    seeds = (
+        v.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    for _ in range(n_iter):
+        assigned = v.withColumn("c", _nearest_centroid(F.col("v"), cents))
+        sums = assigned.groupBy("c").agg(
+            *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r["c"]: r for r in sums.collect()}
+        cents = [
+            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
+            for ci in range(len(cents))
+        ]
+    return cents
+
+
+def _nearest_centroid(v, cents: list[list[float]]):
+    """argmin_i ||v - c_i||^2 as a when-chain (k literal comparisons)."""
+    best_i = F.lit(0)
+    best_d = None
+    for i, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, cl, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """IVF ANN: coarse-quantize candidates into inverted lists, probe the
+    ``nprobe`` nearest lists per query, exact cosine re-rank inside.
+
+    The probe join is an equi-join on centroid id (k keys); at scale the
+    candidate side is pre-partitioned (bucketed) by centroid so probes
+    co-locate without a shuffle."""
+    cents = kmeans_centroids(candidates, dim, n_centroids, id_col=id_col,
+                             vec_col=vec_col, seed=seed)
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("c", _nearest_centroid(F.col("cv"), cents)).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
+    # per-query nprobe nearest centroids: explode a literal distance array
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(float(x)) for x in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, cent in enumerate(cents)
+        ]
+    )
+    probed = q.withColumn(
+        "c", F.explode(F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["c"]))
+    )
+    sims = probed.join(c, "c").select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -195,3 +195,18 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
     one = [r.frame_ts_ms for r in rows if r.media_id == 2]
     assert one == sorted(one) and one[0] == 0
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.where("vec_id < 10")
+    c = emb.where("vec_id >= 10")
+    exact = similarity.brute_force_topk(q, c, k=5)
+    approx = similarity.ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=3)
+    ex = {(r.query_id, r.cand_id) for r in exact.collect()}
+    ap = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # deterministic across invocations
+    again = {(r.query_id, r.cand_id) for r in
+             similarity.ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=3).collect()}
+    assert again == ap
