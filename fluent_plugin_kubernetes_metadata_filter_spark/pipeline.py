@@ -41,12 +41,20 @@ def enrich_transcripts(spark: SparkSession, sf_dir: str,
 def routed_output(spark: SparkSession, sf_dir: str,
                   cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Enriched rows in emit shape: structs assembled, stable order."""
-    df = enrich_transcripts(spark, sf_dir, cfg)
-    df = assemble_structs(df)
-    # order first (window shuffles on conv_id), THEN the salted route
-    # shuffle — the reverse order would let the window exchange undo the
-    # salt right before the write
+    # Order of operations is chosen by shuffle VOLUME:
+    # 1. stable_order on the RAW input — the conv_id window shuffles only
+    #    the 6 narrow input columns, not the enriched width;
+    # 2. enrich — broadcast joins, pipelines onto the window output with
+    #    no exchange;
+    # 3. route_partition — the only other full shuffle, carrying the
+    #    final width once. Window-after-salt would also let the window
+    #    exchange undo the salt right before the write.
+    df = load_table(spark, sf_dir, "transcripts")
     df = stable_order(df)
+    pods = load_table(spark, sf_dir, "pods_dim")
+    ns = load_table(spark, sf_dir, "namespaces_dim")
+    df = enrich(df, pods, ns, cfg)
+    df = assemble_structs(df)
     keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
     df = df.select(*keep)
     return route_partition(df, cfg, cfg.route_column)

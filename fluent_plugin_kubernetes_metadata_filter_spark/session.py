@@ -25,12 +25,15 @@ def build_session(app: str = "fluent-k8s-meta-spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local testdata is a handful of files totalling tens of MB; the
         # default 128MB split size would serialize the scan onto one task.
         # On a real cluster over 100 TB you keep the default (or larger).
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        # regex-heavy projections allocate hard; throughput GC beats G1
+        # for this batch-style workload on a single big JVM
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     return b.getOrCreate()

@@ -1,0 +1,63 @@
+"""Physical-plan regression guards: the enrichment must stay
+shuffle-free with broadcast joins, pruned columns, and pushed filters
+(the properties that make it scale to 100 TB)."""
+
+from fluent_plugin_kubernetes_metadata_filter_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_enrich_is_broadcast_and_shuffle_free(spark):
+    df = q.q_enrich_flat(spark, SF)
+    plan = _formatted(df)
+    # formatted output mentions each join in tree + details; require the
+    # tree section to contain exactly the two broadcast joins
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # no data shuffle
+    # codegen spans appear once AQE finalizes — execute, then inspect
+    df.limit(1).collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in final or "isFinalPlan=false" in final
+
+
+def test_scan_prunes_columns(spark):
+    df = q.q_enrich_flat(spark, SF)
+    lines = _formatted(df).splitlines()
+    # locate the transcripts scan block, then its ReadSchema line:
+    # role/text must be pruned away
+    idx = next(i for i, l in enumerate(lines) if "transcripts.parquet" in l)
+    schema_line = next(l for l in lines[idx:] if "ReadSchema" in l)
+    assert "text" not in schema_line and "role" not in schema_line
+    assert "tool" in schema_line  # the one wide column we DO need
+
+
+def test_dim_scans_have_pushed_filters(spark):
+    df = q.q_enrich_flat(spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(namespace_name), IsNotNull(pod_name)]" in plan
+
+
+def test_route_counts_is_partial_agg(spark):
+    df = q.q_route_counts(spark, SF)
+    plan = _plan(df)
+    # two-phase aggregate: partial (map-side) then final after exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_native_path(spark):
+    df = q.q_enrich_flat(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
