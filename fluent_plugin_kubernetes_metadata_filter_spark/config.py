@@ -62,8 +62,11 @@ class PipelineConfig:
 
     # Skew handling (SURVEY.md section 4 item 1): number of salt buckets
     # appended to conv_id for the physical repartition before the fan-out
-    # write. Purely physical — output content/order is unaffected.
-    salt_buckets: int = 8
+    # write. Purely physical — output content/order is unaffected. A hot
+    # sink holding fraction f of all rows becomes salt_buckets tasks of
+    # f/salt_buckets each; size it ~2-4x the per-stage task slots so the
+    # hottest sink cannot straggle the write stage.
+    salt_buckets: int = 32
 
     # Parallelism hint for the salted repartition; None = leave to AQE.
     shuffle_partitions: int | None = None

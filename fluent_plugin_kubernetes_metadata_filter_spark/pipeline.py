@@ -63,8 +63,23 @@ def routed_output(spark: SparkSession, sf_dir: str,
 def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Full job. Writes fan-out parquet when out_dir given; returns the
-    per-sink count aggregate (the job's summary result)."""
+    per-sink count aggregate (the job's summary result).
+
+    When writing, the counts come from the WRITTEN output — a parquet
+    metadata-only count per partition directory — so the enrichment DAG
+    executes exactly once (recomputing it for the aggregate would double
+    the job)."""
     df = routed_output(spark, sf_dir, cfg)
     if out_dir:
         write_routed(df, out_dir, cfg.route_column)
+        back = spark.read.parquet(out_dir)
+        return (
+            back.groupBy(
+                F.coalesce(
+                    F.col(cfg.route_column).cast("string"), F.lit("__passthrough__")
+                ).alias("sink")
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("sink")
+        )
     return per_sink_counts(df, cfg.route_column).orderBy("sink")
