@@ -39,6 +39,14 @@ class PipelineConfig:
     # parse when all four identity fields are present (filter:384-399).
     lookup_from_k8s_field: bool = True
 
+    # de_dot key rewriting: '.' in label/annotation KEYS replaced by the
+    # separator. Removed in reference 3.7.1 (release_notes.md:4 marks it
+    # deprecated) but part of the plugin's historical contract, so it is
+    # offered opt-in with the historical defaults (de_dot true, '_') NOT
+    # applied — 3.7.1 behavior is the default here.
+    de_dot: bool = False
+    de_dot_separator: str = "_"
+
     # filter:82-88 — projection flags (SURVEY.md O16)
     skip_labels: bool = False
     skip_pod_labels: bool = False
@@ -64,9 +72,9 @@ class PipelineConfig:
     # appended to conv_id for the physical repartition before the fan-out
     # write. Purely physical — output content/order is unaffected. A hot
     # sink holding fraction f of all rows becomes salt_buckets tasks of
-    # f/salt_buckets each; size it ~2-4x the per-stage task slots so the
+    # f/salt_buckets each; size it near the per-stage task slots so the
     # hottest sink cannot straggle the write stage.
-    salt_buckets: int = 32
+    salt_buckets: int = 8
 
     # Parallelism hint for the salted repartition; None = leave to AQE.
     shuffle_partitions: int | None = None

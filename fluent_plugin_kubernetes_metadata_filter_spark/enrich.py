@@ -74,6 +74,14 @@ def _nonempty_map(m: Column) -> Column:
     return F.when(F.size(m) > 0, m)
 
 
+def _de_dot(m: Column, cfg: PipelineConfig) -> Column:
+    """Historical de_dot key rewrite ('.' -> separator in map KEYS);
+    opt-in, off by default like reference 3.7.1 (release_notes.md:4)."""
+    if not cfg.de_dot:
+        return m
+    return F.transform_keys(m, lambda k, _v: F.replace(k, F.lit("."), F.lit(cfg.de_dot_separator)))
+
+
 def _annotation_filter(m: Column, patterns: tuple[str, ...]) -> Column:
     """O17 match_annotations (common.rb:30-38): keep entries whose KEY
     matches any configured regex; no regexes -> empty result."""
@@ -109,7 +117,7 @@ def prepare_pods_dim(pods_dim: DataFrame, cfg: PipelineConfig) -> DataFrame:
     labels = (
         F.lit(None).cast("map<string,string>")
         if (cfg.skip_labels or cfg.skip_pod_labels)
-        else _nonempty_map(F.col("labels"))
+        else _nonempty_map(_de_dot(F.col("labels"), cfg))
     )
     owner = (
         F.col("ownerrefs")
@@ -123,7 +131,9 @@ def prepare_pods_dim(pods_dim: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col("pod_ip").alias("p_pod_ip"),
         F.col("host").alias("p_host"),
         labels.alias("p_labels"),
-        _annotation_filter(F.col("annotations"), cfg.annotation_match).alias("p_annotations"),
+        _de_dot(
+            _annotation_filter(F.col("annotations"), cfg.annotation_match), cfg
+        ).alias("p_annotations"),
         owner.alias("p_ownerrefs"),
         cmap.alias("p_containers"),
     )
@@ -136,13 +146,15 @@ def prepare_namespaces_dim(ns_dim: DataFrame, cfg: PipelineConfig) -> DataFrame:
     labels = (
         F.lit(None).cast("map<string,string>")
         if (cfg.skip_labels or cfg.skip_namespace_labels)
-        else _nonempty_map(F.col("labels"))
+        else _nonempty_map(_de_dot(F.col("labels"), cfg))
     )
     return ns_dim.select(
         F.col("namespace_name").alias("n_namespace_name"),
         F.col("namespace_id").alias("n_namespace_id"),
         labels.alias("n_labels"),
-        _annotation_filter(F.col("annotations"), cfg.annotation_match).alias("n_annotations"),
+        _de_dot(
+            _annotation_filter(F.col("annotations"), cfg.annotation_match), cfg
+        ).alias("n_annotations"),
         F.col("creation_timestamp").alias("n_creation_timestamp"),
     )
 

@@ -16,9 +16,10 @@ from pyspark.sql import SparkSession
 def build_session(app: str = "fluent-k8s-meta-spark", master: str | None = None,
                   shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = master or f"local[{cpus}]"
     b = (
         SparkSession.builder.appName(app)
-        .master(master or f"local[{cpus}]")
+        .master(m)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

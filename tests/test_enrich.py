@@ -317,3 +317,30 @@ def test_record_override_enriches_from_record_identity(spark, pods_dim, ns_dim):
     assert r["namespace_id"] == NS_UID
     # correlated containerID (non-empty) still wins over the record id
     assert r["docker_container_id"] == DOCKER_ID
+
+
+def test_de_dot_rewrites_map_keys(spark, pods_dim, ns_dim):
+    # historical de_dot contract (deprecated in 3.7.1, release_notes.md:4):
+    # '.' in label/annotation KEYS -> separator; values untouched
+    cfg = CFG.with_(de_dot=True, annotation_match=("custom.+", "field"))
+    r = run(spark, pods_dim, ns_dim, TAG_CONTAINERS, cfg)
+    assert r["annotations"] == {"custom_field1": "curiosity", "field_two": "killed_the_cat"}
+    assert r["labels"] == {"component": "fabric8Console"}  # no dots -> unchanged
+    # default: off (3.7.1 behavior)
+    r2 = run(spark, pods_dim, ns_dim, TAG_CONTAINERS, CFG.with_(annotation_match=("custom.+",)))
+    assert r2["annotations"] == {"custom.field1": "curiosity"}
+
+
+def test_custom_tag_regex_override(spark, pods_dim, ns_dim):
+    # tag_to_kubernetes_name_regexp analogue (filter:66-67): custom
+    # patterns replace the defaults; fast path falls back to regex
+    custom = (
+        r"k8s\.(?<namespace>[^/]+)/(?<pod_name>[a-z0-9-]+)/"
+        r"(?<container_name>[a-z0-9-]+)-(?<docker_id>[a-z0-9]{64})\.log$"
+    )
+    cfg = CFG.with_(regex_var_log_containers=custom,
+                    regex_var_log_pods=r"(?<namespace>x)_(?<pod_name>y)_(?<pod_uuid>z)\.(?<container_name>w)\.nomatch$")
+    tag = f"k8s.default/{POD_NAME}/{CONTAINER}-{DOCKER_ID}.log"
+    r = run(spark, pods_dim, ns_dim, tag, cfg)
+    assert r["pod_id"] == POD_UID
+    assert r["namespace_name"] == "default"
