@@ -117,3 +117,61 @@ def default_dims_loader(spark: SparkSession, sf_dir: str):
         )
 
     return load
+
+
+# ------------------------------------------------------- stateful operator
+
+CONV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("first_ts", T.TimestampType()),
+    ]
+)
+
+CONV_PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("max_turn_idx", T.IntegerType()),
+        T.StructField("first_ts", T.TimestampType()),
+    ]
+)
+
+
+def conversation_progress(stream_df: DataFrame, query_name: str = "conv_progress",
+                          timeout: str = "NoTimeout") -> StreamingQuery:
+    """Custom stateful operator: per-conversation running progress
+    (turn count, max turn index, first timestamp) maintained across
+    micro-batches via applyInPandasWithState — the Arrow-batched stateful
+    path for semantics Spark's built-in aggregates can't express (e.g.
+    monotonic per-conversation watermarks for resumable consumers).
+
+    State is one tiny row per conversation, partitioned by conv_id —
+    the same key the batch pipeline salts, so a hot conversation lands
+    on one state partition but its state row stays O(1).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, mx, first = state.get if state.exists else (0, -1, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            ts_min = pdf["ts"].min()
+            first = ts_min if first is None else min(first, ts_min)
+        state.update((n, mx, first))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx], "first_ts": [first]}
+        )
+
+    out = stream_df.groupBy("conv_id").applyInPandasWithState(
+        update, CONV_PROGRESS_SCHEMA, CONV_STATE_SCHEMA, "update", timeout
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -77,3 +77,47 @@ def test_dim_refresh_between_batches(spark):
     q.awaitTermination(120)
     assert call_count["n"] >= 1  # loader consulted per batch
     assert sum(seen) > 0
+
+
+def test_conversation_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (conversations split over multiple input files)."""
+    import pyspark.sql.functions as F
+
+    base = aux_dir(SF)
+    src = spark.read.parquet(f"{base}/transcripts.parquet").where(
+        F.col("conv_id").isin([f"conv-{i:06d}" for i in range(10)])
+    )
+    # split each conversation across two files -> two micro-batches
+    d = str(tmp_path / "stream-in")
+    src.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(d)
+    src.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    q = streaming.conversation_progress(stream, query_name="convprog")
+    q.awaitTermination(120)
+
+    # last update per conversation must equal the batch truth
+    got = {}
+    for r in spark.sql("SELECT * FROM convprog").collect():
+        prev = got.get(r.conv_id)
+        if prev is None or r.n_turns >= prev.n_turns:
+            got[r.conv_id] = r
+    truth = {
+        r.conv_id: r
+        for r in src.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("max_turn_idx"),
+            F.min("ts").alias("first_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for cid, t in truth.items():
+        g = got[cid]
+        assert (g.n_turns, g.max_turn_idx, g.first_ts) == (
+            t.n_turns, t.max_turn_idx, t.first_ts
+        ), cid
