@@ -68,3 +68,42 @@ def write_routed(df: DataFrame, out_dir: str, route_column: str = "namespace_nam
     At scale this is the only shuffle-adjacent step — see route.py for
     the salting that precedes it."""
     df.write.mode(mode).partitionBy(route_column).parquet(out_dir)
+
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcripts(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Multi-format transcript source (O1). Parquet is the scale path
+    (columnar, pushdown); json/csv cover fluentd-style line ingestion.
+    Schema is always explicit — inference is nondeterministic and scans
+    the data twice."""
+    if format == "parquet":
+        return spark.read.parquet(path)
+    if format == "json":
+        return spark.read.schema(TRANSCRIPT_DDL).json(path)
+    if format == "csv":
+        return (
+            spark.read.schema(TRANSCRIPT_DDL)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format: {format}")
+
+
+def dim_with_ttl(dim: DataFrame, now, ttl_seconds: int | None,
+                 last_seen_col: str = "last_seen") -> DataFrame:
+    """O25 TTL policy as a dim VIEW: rows older than the TTL are evicted
+    from the snapshot; DELETED rows are deliberately NOT removed (the
+    reference ignores DELETE notices so late records still enrich,
+    kubernetes_metadata_watch_pods.rb:182-186). ttl None/<=0 disables
+    eviction (the reference's cache_ttl <= 0 -> :none, filter:193-195)."""
+    import pyspark.sql.functions as F
+
+    if not ttl_seconds or ttl_seconds <= 0 or last_seen_col not in dim.columns:
+        return dim
+    cutoff = F.lit(now) - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+    return dim.where(F.col(last_seen_col) >= cutoff)
