@@ -61,3 +61,17 @@ def test_no_python_udf_in_native_path(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_routed_output_has_exactly_two_exchanges(spark):
+    """The full job's only shuffles: the (conv_id) window for stable
+    ordering and the (route, conv-salt) exchange feeding the write."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+
+    df = pipeline.routed_output(spark, SF)
+    plan = _formatted(df)
+    tree = plan.split("\n\n")[0]
+    shuffles = tree.count("- Exchange (")  # BroadcastExchange spelled out
+    assert shuffles == 2, tree
+    # enrichment joins stay broadcast even inside the full job
+    assert tree.count("BroadcastHashJoin") == 2
