@@ -189,3 +189,44 @@ def test_record_override_disabled(spark):
     cfg = PipelineConfig(lookup_from_k8s_field=False)
     r = resolve_identity(extract_source_fields(df), cfg).collect()[0]
     assert r.i_namespace == "default"
+
+
+def test_record_override_nested_structs(spark):
+    """O8 with the record's actual nested kubernetes/docker sub-records
+    (the shape the reference reads at filter:384-399)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField(
+                "kubernetes",
+                T.StructType(
+                    [
+                        T.StructField("namespace_name", T.StringType()),
+                        T.StructField("pod_name", T.StringType()),
+                        T.StructField("container_name", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "docker",
+                T.StructType([T.StructField("container_id", T.StringType())]),
+            ),
+        ]
+    )
+    rows = [
+        ("c1", 0, TAG_CONTAINERS, ("rns", "rpod", "rcont"), ("rid",)),
+        ("c2", 0, TAG_CONTAINERS, ("rns", "rpod", None), ("rid",)),  # partial
+        ("c3", 0, "non-kubernetes", None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r.conv_id: r
+        for r in resolve_identity(extract_source_fields(df), PipelineConfig()).collect()
+    }
+    assert out["c1"].i_namespace == "rns" and out["c1"].i_cache_key == "rid"
+    assert out["c2"].i_namespace == "default"  # partial -> tag wins
+    assert out["c3"].i_matched is False

@@ -121,3 +121,28 @@ def test_conversation_progress_stateful(spark, tmp_path):
         assert (g.n_turns, g.max_turn_idx, g.first_ts) == (
             t.n_turns, t.max_turn_idx, t.first_ts
         ), cid
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """O26 analogue: restarting from the same checkpoint reprocesses
+    nothing (the retry ladder replaced by checkpointed offsets)."""
+    base = aux_dir(SF)
+    ckpt = str(tmp_path / "ckpt")
+    loader = streaming.default_dims_loader(spark, SF)
+
+    seen = []
+    q = streaming.enrich_stream(
+        streaming.read_transcript_stream(spark, base), loader,
+        lambda df, bid: seen.append(df.count()), checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    first_total = sum(seen)
+    assert first_total > 0
+
+    seen2 = []
+    q2 = streaming.enrich_stream(
+        streaming.read_transcript_stream(spark, base), loader,
+        lambda df, bid: seen2.append(df.count()), checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert sum(seen2) == 0  # nothing new -> no reprocessing
