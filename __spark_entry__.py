@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q.q_events_json,
         "events_window": q.q_events_window,
         "events_sessionize": q.q_events_sessionize,
+        "grok_apache": q.q_grok_apache,
+        "grok_status_counts": q.q_grok_status_counts,
     }
 
 

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GEN_VERSION = 9  # bump to force regeneration of /root/repo/data
+GEN_VERSION = 10  # bump to force regeneration of /root/repo/data
 
 # Small row groups so Spark's file splitter can parallelize a single
 # local parquet file (splits only land on row-group boundaries).
@@ -361,6 +361,7 @@ def generate_sf(out_dir: str, sf_name: str) -> None:
 
     _write_dims(out_dir, ns_rows, pod_rows)
     _write_carried(out_dir, pod_rows, rng)
+    _write_logs(out_dir, max(2000, total // 6), rng)
 
 
 def _map_arr(dicts):
@@ -490,6 +491,33 @@ def _write_carried(out_dir, pod_rows, rng):
         }
     )
     pq.write_table(tbl, os.path.join(out_dir, "transcripts_carried.parquet"))
+
+
+def _write_logs(out_dir, n, rng):
+    """Synthetic apache-combined access-log lines (grok parse fixture);
+    ~7% malformed lines exercise the no-match path."""
+    verbs = np.array(["GET", "POST", "PUT", "DELETE"], dtype=object)
+    paths = np.array([f"/api/v1/resource{i}" for i in range(20)] + ["/", "/health"], dtype=object)
+    users = np.array(["-", "alice", "bob", "svc-1"], dtype=object)
+    codes = np.array(["200", "200", "200", "301", "404", "500"], dtype=object)
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun"]
+    lines = []
+    for i in range(n):
+        if rng.random_sample() < 0.07:
+            lines.append(f"malformed line {i} without structure")
+            continue
+        ip = f"10.{int(rng.randint(0,256))}.{int(rng.randint(0,256))}.{int(rng.randint(1,255))}"
+        ts = f"{int(rng.randint(1,29)):02d}/{months[int(rng.randint(0,6))]}/2024:{int(rng.randint(0,24)):02d}:{int(rng.randint(0,60)):02d}:{int(rng.randint(0,60)):02d} +0000"
+        lines.append(
+            f'{ip} - {users[int(rng.randint(0,4))]} [{ts}] '
+            f'"{verbs[int(rng.randint(0,4))]} {paths[int(rng.randint(0,22))]} HTTP/1.1" '
+            f'{codes[int(rng.randint(0,6))]} {int(rng.randint(64, 65536))}'
+        )
+    tbl = pa.table({
+        "log_id": pa.array(range(n), pa.int64()),
+        "line": pa.array(lines, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(out_dir, "logs.parquet"), row_group_size=ROW_GROUP_SIZE)
 
 
 # ------------------------------------------------------------- entrypoint

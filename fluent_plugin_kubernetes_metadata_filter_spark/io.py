@@ -25,6 +25,7 @@ TRANSCRIPT_TABLES = (
     "ns_annotations_dim",
     "pod_labels_dim",
     "ns_labels_dim",
+    "logs",
 )
 
 

@@ -344,6 +344,7 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
 
     q.update(_ops_oracles())
     q.update(_event_oracles())
+    q.update(_grok_oracles())
     return q
 
 
@@ -432,4 +433,28 @@ s AS (
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY 1, 2"""
+    return q
+
+
+def _grok_oracles() -> dict[str, str]:
+    from fluent_plugin_kubernetes_metadata_filter_spark.grok import APACHE_COMBINED, compile_grok
+
+    regex, gi = compile_grok(APACHE_COMBINED)
+    rx = regex.replace("'", "''")
+    fields = ["clientip", "verb", "request", "response", "bytes"]
+    cols = ",\n       ".join(
+        f"CASE WHEN regexp_matches(line, '{rx}') THEN regexp_extract(line, '{rx}', {gi[f]}) END AS {f}"
+        for f in fields
+    )
+    q = {}
+    q["grok_apache"] = f"""
+SELECT log_id, {cols},
+       regexp_matches(line, '{rx}') AS grok_matched
+FROM read_parquet('{AUX}/logs.parquet')"""
+    q["grok_status_counts"] = f"""
+SELECT COALESCE(CASE WHEN regexp_matches(line, '{rx}')
+                     THEN regexp_extract(line, '{rx}', {gi["response"]}) END,
+                '__unparsed__') AS status,
+       COUNT(*) AS n_requests
+FROM read_parquet('{AUX}/logs.parquet') GROUP BY 1"""
     return q

@@ -541,3 +541,28 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# --------------------------------------------------------------- grok
+
+def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok parse of apache-combined access logs (one regex pass,
+    group-indexed extraction; malformed lines -> nulls + matched=false)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.grok import APACHE_COMBINED, grok_extract
+
+    logs = load_table(spark, sf_dir, "logs")
+    out = grok_extract(logs, "line", APACHE_COMBINED)
+    return out.select(
+        "log_id", "clientip", "verb", "request", "response", "bytes", "grok_matched"
+    )
+
+
+def q_grok_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-style aggregate over the grok parse: requests per status."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.grok import APACHE_COMBINED, grok_extract
+
+    logs = load_table(spark, sf_dir, "logs")
+    out = grok_extract(logs, "line", APACHE_COMBINED)
+    return out.groupBy(
+        F.coalesce(F.col("response"), F.lit("__unparsed__")).alias("status")
+    ).agg(F.count(F.lit(1)).alias("n_requests"))

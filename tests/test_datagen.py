@@ -64,7 +64,7 @@ def test_dims_fixed_size_across_sf():
 def test_driver_contract_shape():
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
-    assert len(qs) >= 25
+    assert len(qs) >= 30
     # every oracle key must have a query; rows-only keys are the
     # documented xxhash-based ones
     assert set(oq) <= set(qs)
