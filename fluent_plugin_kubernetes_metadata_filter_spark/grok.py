@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -111,3 +112,42 @@ APACHE_COMBINED = (
     '"%{WORD:verb} %{URIPATH:request} HTTP/%{NUMBER:httpversion}" '
     '%{INT:response} %{INT:bytes}'
 )
+
+
+def make_grok_pandas_udf(expr: str, patterns: dict[str, str] | None = None):
+    """Vectorized Arrow-batched grok UDF: ONE ``str.extract`` pass per
+    batch returns all fields as a struct (the pandas/Arrow path of the
+    input contract; no per-row Python)."""
+    import pyspark.sql.types as T
+
+    regex, gi = compile_grok(expr, patterns)
+    fields = list(gi)
+    named = re.compile(regex)  # python re; extract by group number
+    schema = T.StructType(
+        [T.StructField(f, T.StringType()) for f in fields]
+        + [T.StructField("grok_matched", T.BooleanType())]
+    )
+
+    @F.pandas_udf(schema)
+    def gk(s: pd.Series) -> pd.DataFrame:
+        s = s.astype("string")
+        ex = s.str.extract(named)  # columns indexed 0..n_groups-1
+        out = {}
+        for f in fields:
+            col = ex[gi[f] - 1].astype(object)
+            out[f] = col.where(col.notna(), None)
+        out["grok_matched"] = ex[gi[fields[0]] - 1].notna() if fields else s.notna()
+        return pd.DataFrame(out)
+
+    return gk
+
+
+def grok_extract_pandas(df: DataFrame, source_col: str, expr: str,
+                        patterns: dict[str, str] | None = None,
+                        prefix: str = "") -> DataFrame:
+    udf = make_grok_pandas_udf(expr, patterns)
+    df = df.withColumn("_g", udf(F.col(source_col)))
+    regexed, gi = compile_grok(expr, patterns)
+    for f in list(gi) + ["grok_matched"]:
+        df = df.withColumn(prefix + f, F.col(f"_g.{f}"))
+    return df.drop("_g")

@@ -49,3 +49,14 @@ def test_grok_apache_on_generated_logs(spark):
     assert row.clientip.startswith("10.")
     bad = out.where("NOT grok_matched").first()
     assert bad.verb is None
+
+
+def test_grok_pandas_equals_native(spark):
+    from fluent_plugin_kubernetes_metadata_filter_spark.grok import grok_extract_pandas
+
+    logs = load_table(spark, SF, "logs")
+    cols = ["log_id", "clientip", "verb", "request", "response", "bytes", "grok_matched"]
+    a = grok_extract(logs, "line", APACHE_COMBINED).select(*cols)
+    b = grok_extract_pandas(logs, "line", APACHE_COMBINED).select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

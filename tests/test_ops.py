@@ -210,3 +210,13 @@ def test_ivf_topk_recall(spark, emb):
     again = {(r.query_id, r.cand_id) for r in
              similarity.ivf_topk(q, c, dim=64, k=5, n_centroids=8, nprobe=3).collect()}
     assert again == ap
+
+
+def test_gemm_topk_equals_expression_topk(spark, emb):
+    q = emb.where("vec_id < 10")
+    c = emb.where("vec_id >= 10")
+    a = similarity.brute_force_topk(q, c, k=5).select("query_id", "cand_id", "rank")
+    b = similarity.brute_force_topk_gemm(q, c, k=5).select("query_id", "cand_id", "rank")
+    ar = {(r.query_id, r.rank): r.cand_id for r in a.collect()}
+    br = {(r.query_id, r.rank): r.cand_id for r in b.collect()}
+    assert ar == br
