@@ -345,6 +345,7 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
     q.update(_ops_oracles())
     q.update(_event_oracles())
     q.update(_grok_oracles())
+    q.update(_quality_full_oracle())
     return q
 
 
@@ -458,3 +459,23 @@ SELECT COALESCE(CASE WHEN regexp_matches(line, '{rx}')
        COUNT(*) AS n_requests
 FROM read_parquet('{AUX}/logs.parquet') GROUP BY 1"""
     return q
+
+
+def _quality_full_oracle() -> dict[str, str]:
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    stop = f"len(list_filter({toks}, t -> t IN ('the','a','of','and','to','is','in')))"
+    punct = "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    distinct_ratio = f"(len(list_distinct({toks})) * 1.0 / len({toks}))"
+    score = (
+        f"LEAST(length(text) / 500.0, 1.0) * 0.3"
+        f" + LEAST({stop} * 1.0 / len({toks}) * 5.0, 1.0) * 0.2"
+        f" + (1.0 - LEAST({punct} * 1.0 / length(text) * 4.0, 1.0)) * 0.2"
+        f" + LEAST({distinct_ratio} * 1.5, 1.0) * 0.3"
+    )
+    return {
+        "quality_full": f"""
+SELECT doc_id,
+       floor(({score}) * 10000) / 10000 AS quality_score,
+       floor({distinct_ratio} * 10000) / 10000 AS distinct_token_ratio
+FROM documents"""
+    }
