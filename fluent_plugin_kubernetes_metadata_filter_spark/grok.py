@@ -42,13 +42,21 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
     """Expand %{NAME:field} refs -> (regex, {field: group_index}).
 
     Fields become anonymous groups addressed by number (Java regex
-    forbids '_' in group names); nameless refs become non-capturing."""
+    forbids '_' in group names); nameless refs become non-capturing.
+
+    Literal text between refs is matched VERBATIM (``re.escape``-d), so
+    ``(`` / ``+`` / ``[`` in the expression can't silently change the
+    regex or shift group numbering; a user who wants raw regex supplies
+    it as a custom pattern via ``patterns``.  re.escape only escapes
+    regex metacharacters, and ``\\(`` ``\\[`` ``\\+`` etc. mean the same
+    in Python, Java, and RE2/DuckDB, so one compiled regex serves all
+    three engines."""
     lib = {**CORE_PATTERNS, **(patterns or {})}
     out = []
     fields: list[str] = []
     pos = 0
     for m in _GROK_REF.finditer(expr):
-        out.append(re.escape(expr[pos:m.start()]) if _needs_escape(expr[pos:m.start()]) else expr[pos:m.start()])
+        out.append(re.escape(expr[pos:m.start()]))
         name, field = m.group(1), m.group(2)
         if name not in lib:
             raise KeyError(f"unknown grok pattern %{{{name}}}")
@@ -59,7 +67,7 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
         else:
             out.append(f"(?:{body})")
         pos = m.end()
-    out.append(expr[pos:])
+    out.append(re.escape(expr[pos:]))
     regex = "".join(out)
     # group numbering: count opening groups of the assembled regex
     gi: dict[str, int] = {}
@@ -72,7 +80,7 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
     fields_iter = iter(range(len(fields)))
     pos = 0
     for m in _GROK_REF.finditer(expr):
-        named.append(expr[pos:m.start()])
+        named.append(re.escape(expr[pos:m.start()]))
         name, field = m.group(1), m.group(2)
         body = lib[name]
         if field:
@@ -80,7 +88,7 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
         else:
             named.append(f"(?:{body})")
         pos = m.end()
-    named.append(expr[pos:])
+    named.append(re.escape(expr[pos:]))
     named_rx = re.compile("".join(named))
     for i, field in enumerate(fields):
         gi[field] = named_rx.groupindex[f"f{i}"]
@@ -88,8 +96,6 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
     return regex, gi
 
 
-def _needs_escape(s: str) -> bool:
-    return False  # literal text in grok exprs is already regex-safe by convention
 
 
 def grok_extract(df: DataFrame, source_col: str, expr: str,
@@ -108,7 +114,7 @@ def grok_extract(df: DataFrame, source_col: str, expr: str,
 
 # Apache/nginx combined access log
 APACHE_COMBINED = (
-    '%{IP:clientip} %{USER:ident} %{USER:auth} \\[%{HTTPDATE:timestamp}\\] '
+    '%{IP:clientip} %{USER:ident} %{USER:auth} [%{HTTPDATE:timestamp}] '
     '"%{WORD:verb} %{URIPATH:request} HTTP/%{NUMBER:httpversion}" '
     '%{INT:response} %{INT:bytes}'
 )

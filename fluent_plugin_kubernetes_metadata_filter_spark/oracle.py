@@ -419,8 +419,8 @@ FROM events GROUP BY 1, 2"""
     q["events_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

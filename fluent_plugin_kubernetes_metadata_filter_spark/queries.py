@@ -522,10 +522,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lag + cumulative sum — the classic composition)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; go via timestamp (session tz = UTC) for epoch
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # ts is TIMESTAMP_NTZ; microsecond-precision epoch so sub-second gaps
+    # round the same way as the DuckDB oracle's epoch_us() (a plain
+    # cast-to-long truncates micros and mis-assigns sessions at the
+    # 30-minute boundary).  Gap difference cancels the session-tz offset.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     df = ev.withColumn("new_sess", new_sess)
     sess_id = F.sum("new_sess").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -37,6 +37,24 @@ def test_custom_pattern_and_nameless_ref():
     assert m.group(gi["level"]) == "HIGH" and m.group(gi["msg"]) == "disk full"
 
 
+def test_literal_text_is_escaped_verbatim():
+    """Regex metacharacters in literal text match literally and do NOT
+    create capture groups (which would shift field group numbering)."""
+    import re
+
+    expr = "(%{WORD:a}+%{INT:b}) [%{WORD:c}]"
+    regex, gi = compile_grok(expr)
+    m = re.fullmatch(regex, "(x+42) [ok]")
+    assert m is not None
+    assert m.group(gi["a"]) == "x"
+    assert m.group(gi["b"]) == "42"
+    assert m.group(gi["c"]) == "ok"
+    # a raw "(x" line must NOT match as a group-opener
+    assert re.search(regex, "x+42 ok") is None
+    # literal parens contributed zero capture groups
+    assert re.compile(regex).groups == 3
+
+
 def test_grok_apache_on_generated_logs(spark):
     logs = load_table(spark, SF, "logs")
     out = grok_extract(logs, "line", APACHE_COMBINED)
