@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 
 # MinHash parameters: 64 permutations = 16 bands x 4 rows -> s-curve
 # threshold ~ (1/16)^(1/4) ~ 0.5
@@ -134,6 +134,54 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def grouped_pair_expansion(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    df_cap: int | None = 256,
+) -> tuple[DataFrame, Observation | None]:
+    """Ordered candidate pairs from a (id, token) table in ONE shuffle:
+    group by token, sorted doc-list per token, pairs expanded inline —
+    ~2x faster than the self-join formulation (no second shuffle of the
+    token table).
+
+    A token shared by k docs expands k^2/2 pairs in one task, so tokens
+    with document frequency above ``df_cap`` (stop-shingles — they carry
+    no discriminative similarity) are DROPPED before expansion; at 100 TB
+    one hot shingle would otherwise OOM a single task. The drop is not
+    silent: the returned Observation reports ``dropped_tokens`` and
+    ``max_df`` once an action consumes the pairs. ``df_cap=None``
+    disables the cap (test-scale only).
+    """
+    groups = (
+        toks.groupBy(tok_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    obs: Observation | None = None
+    if df_cap is not None:
+        obs = Observation()
+        groups = groups.observe(
+            obs,
+            F.count(F.when(F.size("ds") > df_cap, 1)).alias("dropped_tokens"),
+            F.max(F.size("ds")).alias("max_df"),
+        ).where(F.size("ds") <= df_cap)
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs, obs
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (never all-pairs)."""
@@ -237,10 +285,19 @@ def propagate_min_keeper(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id
                          max_iter: int = 10) -> DataFrame:
     """Connected-component keeper assignment by iterative min-label
     propagation over the dup-pair graph (converges in O(diameter) rounds;
-    near-dup clusters are shallow in practice). Returns (id, keep_id)."""
+    near-dup clusters are shallow in practice). Returns (id, keep_id).
+
+    Each round materializes the new labels via ``localCheckpoint`` so the
+    plan stays one-join deep regardless of round count (unmaterialized
+    lineage would grow a join per round and every convergence probe would
+    re-execute the whole chain); the probe itself is an ``isEmpty`` on
+    the changed-rows diff, not a full count.
+    """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.localCheckpoint(eager=False)
     labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -250,14 +307,14 @@ def propagate_min_keeper(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id
         new_labels = labels.join(nbr_min, "u", "left").select(
             "u", F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl")
         )
-        changed = (
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
             .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            .isEmpty()
         )
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("keep_id"))

@@ -267,19 +267,33 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
 
 
 def brute_force_topk_gemm(queries: DataFrame, candidates: DataFrame, k: int = 10,
-                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          max_queries: int = 100_000) -> DataFrame:
     """Exact cosine top-k via blocked matrix multiplication: the query
     matrix (normalized, assumed broadcast-small) rides into an Arrow-
     batched mapInPandas over candidate partitions; each batch is one
     numpy GEMM, and only per-batch top-k survive to the final global
-    top-k reduction. Identical results to brute_force_topk (tested),
-    ~BLAS-speed instead of per-pair expression evaluation — the right
-    exact baseline when |Q| x |C| is large.
+    top-k reduction. Identical results to brute_force_topk including
+    exact-sim ties (per-batch selection is lexicographic on
+    (-sim, cand_id), the same tie-break as the final window), ~BLAS
+    speed instead of per-pair expression evaluation — the right exact
+    baseline when |Q| x |C| is large.
+
+    The query side is collected to the driver for broadcast;
+    ``max_queries`` guards that collect (beyond it, flip the sides or
+    use the LSH/IVF paths).
     """
     import pandas as pd
     import pyspark.sql.types as T
     from pyspark.sql import Window as W
 
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk_gemm collects the query side to the driver; "
+            f"got {n_q} queries > max_queries={max_queries}. Swap sides or "
+            f"use lsh_topk/ivf_topk."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -301,12 +315,17 @@ def brute_force_topk_gemm(queries: DataFrame, candidates: DataFrame, k: int = 10
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
             if len(C) == 0:
                 continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            # pre-order columns by cand_id asc so a STABLE sort on -sim
+            # is lexicographic (-sim, cand_id) — the same tie-break as
+            # the final global window; argpartition would keep an
+            # arbitrary candidate among exact ties at the k-boundary.
+            order = np.argsort(cids, kind="stable")
+            cids, C = cids[order], C[order]
             C /= np.linalg.norm(C, axis=1, keepdims=True)
             sims = Q @ C.T  # (|Q| x batch) GEMM
-            cids = pdf[id_col].to_numpy(dtype=np.int64)
             take = min(k, sims.shape[1])
-            # per-batch top-k per query (argpartition), global reduce later
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             out_q = np.repeat(ids, take)
             out_c = cids[idx].ravel()
             out_s = np.take_along_axis(sims, idx, axis=1).ravel()

@@ -68,6 +68,21 @@ def test_simhash_near_dups(spark, docs_with_dups):
     assert h[0] == h[10000]
 
 
+def test_grouped_pair_expansion_df_cap(spark):
+    """A planted hot (stop-)shingle must not inflate pairs: with df_cap
+    below its document frequency it is dropped, the drop is observable,
+    and the discriminative token still yields its pair."""
+    rows = [(d, "hot") for d in range(10)] + [(1, "rare"), (2, "rare")]
+    toks = spark.createDataFrame(rows, "doc_id long, tok string")
+    pairs, obs = dedup.grouped_pair_expansion(toks, df_cap=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # 10-doc hot token would have added 45 pairs
+    assert obs.get["dropped_tokens"] == 1 and obs.get["max_df"] == 10
+    # uncapped: the full k^2/2 expansion
+    all_pairs, _ = dedup.grouped_pair_expansion(toks, df_cap=None)
+    assert all_pairs.count() == 45 + 1
+
+
 def test_propagate_min_keeper(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
@@ -75,6 +90,19 @@ def test_propagate_min_keeper(spark):
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
     keep = {r.doc_id: r.keep_id for r in dedup.propagate_min_keeper(pairs, ids).collect()}
     assert keep == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 99: 99}
+
+
+def test_propagate_min_keeper_bounded_plan(spark):
+    """A long path graph needs many propagation rounds; per-round
+    localCheckpoint must keep the final plan one-join deep instead of
+    accumulating a join per round."""
+    n = 9
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = dedup.propagate_min_keeper(pairs, ids, max_iter=10)
+    assert {r.keep_id for r in out.collect()} == {0}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 0, plan  # lineage truncated to a checkpoint scan
 
 
 # ------------------------------------------------------------ similarity
@@ -220,3 +248,32 @@ def test_gemm_topk_equals_expression_topk(spark, emb):
     ar = {(r.query_id, r.rank): r.cand_id for r in a.collect()}
     br = {(r.query_id, r.rank): r.cand_id for r in b.collect()}
     assert ar == br
+
+
+def test_gemm_topk_tie_break_matches_baseline(spark):
+    """Planted exact-sim ties at the k-boundary: many duplicate vectors,
+    so selection inside one GEMM batch must break ties on asc cand_id
+    exactly like the expression baseline's window."""
+    dup = [0.5, 0.5] + [0.0] * 62
+    other = [1.0, 0.0] + [0.0] * 62
+    q = spark.createDataFrame([(0, [1.0, 1.0] + [0.0] * 62)], "vec_id long, embedding array<double>")
+    # 20 identical candidates (all tie at sim=1.0) + 5 lower-sim ones,
+    # deliberately interleaved ids so batch order != id order
+    rows = [(100 - i, dup) for i in range(20)] + [(200 + i, other) for i in range(5)]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(3)
+    a = similarity.brute_force_topk(q, c, k=7).select("query_id", "cand_id", "rank")
+    b = similarity.brute_force_topk_gemm(q, c, k=7).select("query_id", "cand_id", "rank")
+    ar = sorted((r.rank, r.cand_id) for r in a.collect())
+    br = sorted((r.rank, r.cand_id) for r in b.collect())
+    assert ar == br
+    # ties resolved to the 7 smallest cand_ids among the duplicates
+    assert [cid for _, cid in ar] == [81, 82, 83, 84, 85, 86, 87]
+
+
+def test_gemm_topk_query_collect_guard(spark, emb):
+    import pytest as _pytest
+
+    q = emb.where("vec_id < 10")
+    c = emb.where("vec_id >= 10")
+    with _pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_topk_gemm(q, c, k=5, max_queries=3)
