@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GEN_VERSION = 10  # bump to force regeneration of /root/repo/data
+GEN_VERSION = 11  # bump to force regeneration of /root/repo/data
 
 # Small row groups so Spark's file splitter can parallelize a single
 # local parquet file (splits only land on row-group boundaries).
@@ -171,7 +171,12 @@ def _pods(ns_rows, missing_ns):
                     "namespace_name": nsn,
                     "pod_name": pod,
                     "pod_id": _det_uuid(f"pod/{full}"),
-                    "pod_ip": f"10.{int(hashlib.md5(nsn.encode()).hexdigest()[:4], 16) % 200}.{j}.{(j * 7) % 250 + 1}",
+                    # j==4 pods have no podIP yet (pending/hostNetwork
+                    # analogue): a FULL dim hit with a legitimately-null
+                    # pod_ip — guards against proxying the branch off
+                    # pod_ip nullness anywhere downstream
+                    "pod_ip": None if j == 4
+                    else f"10.{int(hashlib.md5(nsn.encode()).hexdigest()[:4], 16) % 200}.{j}.{(j * 7) % 250 + 1}",
                     "host": f"node-{(j + len(nsn)) % 6:02d}",
                     "labels": labels,
                     "annotations": annotations,

@@ -47,6 +47,18 @@ from fluent_plugin_kubernetes_metadata_filter_spark.parse import (
 # docker:// / cri-o:// prefix strip, common.rb:64 (O18)
 CONTAINER_ID_PREFIX = r"^[-_a-zA-Z0-9]+://"
 
+# Exact alias names introduced by prepare_pods_dim / prepare_namespaces_dim;
+# enrich() drops ONLY these (a prefix match would destroy user input columns
+# that happen to start with p_/n_, e.g. n_rows).
+POD_DIM_COLS = [
+    "p_namespace_name", "p_pod_name", "p_pod_id", "p_pod_ip", "p_host",
+    "p_labels", "p_annotations", "p_ownerrefs", "p_containers",
+]
+NS_DIM_COLS = [
+    "n_namespace_name", "n_namespace_id", "n_labels", "n_annotations",
+    "n_creation_timestamp",
+]
+
 # Flat enrichment output columns (null == omitted in the reference).
 ENRICHED_COLS = [
     "namespace_name",
@@ -170,8 +182,13 @@ def enrich(df: DataFrame, pods_dim: DataFrame, ns_dim: DataFrame,
                                containers_pattern=cfg.regex_var_log_containers)
     df = resolve_identity(df, cfg)
 
+    # Base identity fields are NOT url-gated: get_metadata_for_record
+    # (filter:326-336) always emits container_name/namespace_name/pod_name
+    # and docker.container_id on a tag match; only the get_pod_metadata
+    # dim lookup is gated on present?(kubernetes_url) (filter:337).
     enabled = cfg.kubernetes_url is not None
-    matched = F.col("i_matched") & F.lit(enabled)
+    matched = F.col("i_matched")
+    lookup = matched & F.lit(enabled)
 
     p = F.broadcast(prepare_pods_dim(pods_dim, cfg))
     j = df.join(
@@ -191,8 +208,8 @@ def enrich(df: DataFrame, pods_dim: DataFrame, ns_dim: DataFrame,
             .withColumn("n_creation_timestamp", F.lit(None).cast("timestamp"))
         )
 
-    pod_found = matched & F.col("p_pod_id").isNotNull()
-    ns_found = matched & F.col("n_namespace_id").isNotNull()
+    pod_found = lookup & F.col("p_pod_id").isNotNull()
+    ns_found = lookup & F.col("n_namespace_id").isNotNull()
 
     if cfg.skip_namespace_metadata:
         # cache_strategy.rb:34-38 — pod metadata only, no orphan branch
@@ -205,7 +222,7 @@ def enrich(df: DataFrame, pods_dim: DataFrame, ns_dim: DataFrame,
         asof_ok = F.col("n_creation_timestamp") <= F.col(ts_col)
         asof_acc = ~pod_found & ns_found & asof_ok
         ns_meta = ns_found & ~pod_found  # both as-of branches carry ns metadata
-        orphan = matched & ~ns_found     # includes pod-found/ns-missing (cache_strategy.rb:60-66)
+        orphan = lookup & ~ns_found      # includes pod-found/ns-missing (cache_strategy.rb:60-66)
 
     allow = cfg.allow_orphans
     orphaned = orphan & F.lit(allow)
@@ -274,8 +291,12 @@ def enrich(df: DataFrame, pods_dim: DataFrame, ns_dim: DataFrame,
         )
     )
 
-    drop = [c for c in out.columns if c.startswith(("p_", "n_"))]
-    return out.drop(*drop)
+    # Explicit branch flags (internal i_* columns, like i_matched): a dim
+    # row with a legitimately-null pod_ip must still read as a full hit,
+    # so downstream NEVER proxies the branch off pod_ip nullness.
+    out = out.withColumn("i_pod_dim_hit", pod_found).withColumn("i_full", full)
+
+    return out.drop(*POD_DIM_COLS, *NS_DIM_COLS)
 
 
 def assemble_structs(df: DataFrame) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Observation
 # bump sites in the reference (cache_strategy.rb:28,48,63,66; filter:109)
 def _counters() -> dict[str, F.Column]:
     matched = F.col("i_matched")
-    full = F.col("pod_ip").isNotNull()
+    full = F.col("i_full")  # explicit branch flag (null pod_ip is still full)
     orphaned = F.col("orphaned_namespace").isNotNull()
     ns_only = F.col("namespace_id").isNotNull() & (F.col("namespace_id") != "orphaned") & ~full
     return {

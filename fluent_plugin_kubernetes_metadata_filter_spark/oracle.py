@@ -128,7 +128,12 @@ enriched AS (
 )"""
 
 
-def oracle_queries() -> dict[str, str]:
+def oracle_queries(aux_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL per query. ``aux_dir`` points at the generated
+    transcripts/dims matching the scale factor under comparison; the
+    default is the driver-gate scale (sf0.01). The SQL is assembled
+    against the default and rebased afterwards, so every read_parquet
+    path tracks the requested dir."""
     q: dict[str, str] = {}
 
     q["parse_containers"] = f"""
@@ -171,7 +176,7 @@ FROM enriched WHERE orphaned_namespace IS NOT NULL GROUP BY 1"""
 WITH {_enrich_ctes("transcripts")}
 SELECT conv_id, turn_idx, namespace_name, pod_name, pod_id, namespace_id
 FROM enriched
-WHERE namespace_id IS NOT NULL AND namespace_id <> 'orphaned' AND pod_ip IS NULL"""
+WHERE ns_meta"""
 
     q["record_override"] = f"""
 WITH {_enrich_ctes("transcripts_carried", carried=True)}
@@ -193,7 +198,7 @@ SELECT DISTINCT e.namespace_name, e.pod_name,
 FROM enriched e
 LEFT JOIN plab ON e.namespace_name = lns AND e.pod_name = lpod
 LEFT JOIN nlab ON e.namespace_name = lns2
-WHERE e.pod_ip IS NOT NULL"""
+WHERE e.isfull"""
 
     q["annotations_filtered"] = f"""
 WITH {_enrich_ctes("transcripts")},
@@ -213,7 +218,7 @@ SELECT DISTINCT e.namespace_name, e.pod_name,
 FROM enriched e
 LEFT JOIN pann ON e.namespace_name = ans AND e.pod_name = apod
 LEFT JOIN nann ON e.namespace_name = ans2
-WHERE e.pod_ip IS NOT NULL"""
+WHERE e.isfull"""
 
     # skip_namespace_metadata: no ns join; pod hit -> pod meta, else base
     q["skip_ns_meta"] = f"""
@@ -346,6 +351,8 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
     q.update(_event_oracles())
     q.update(_grok_oracles())
     q.update(_quality_full_oracle())
+    if aux_dir and aux_dir != AUX:
+        q = {k: v.replace(AUX, aux_dir) for k, v in q.items()}
     return q
 
 

@@ -122,7 +122,8 @@ def q_asof_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(
         F.col("namespace_id").isNotNull()
         & (F.col("namespace_id") != "orphaned")
-        & (F.col("pod_ip").isNull())  # pod dim miss (full hits carry pod_ip)
+        & ~F.col("i_pod_dim_hit")  # explicit pod-dim-miss flag (a dim row
+        # with null pod_ip must still count as a hit)
     ).select(
         "conv_id",
         "turn_idx",
@@ -154,7 +155,7 @@ def q_pod_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (exercises the map columns end-to-end)."""
     df = pipeline.enrich_transcripts(spark, sf_dir)
     return (
-        df.where(F.col("pod_ip").isNotNull())
+        df.where(F.col("i_full"))
         .select(
             "namespace_name",
             "pod_name",
@@ -172,7 +173,7 @@ def q_annotations_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = load_table(spark, sf_dir, "namespaces_dim")
     e = enrich(t, pods, ns, ANNOT_CFG)
     return (
-        e.where(F.col("pod_ip").isNotNull())
+        e.where(F.col("i_full"))
         .select(
             "namespace_name",
             "pod_name",

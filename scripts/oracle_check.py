@@ -4,6 +4,7 @@ row-count + column names + order-insensitive values."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -14,7 +15,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 DRIVER_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -46,7 +47,12 @@ def main(only=None):
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    oq = entrymod.oracle_sql()
+    # rebase aux-table paths to the sf under comparison (ADVICE: the
+    # oracle must never silently read sf0.01 aux dims for another sf)
+    from fluent_plugin_kubernetes_metadata_filter_spark.datagen import ensure_sf
+    from fluent_plugin_kubernetes_metadata_filter_spark.oracle import oracle_queries
+
+    oq = oracle_queries(aux_dir=ensure_sf(SF_DIR))
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -31,7 +31,7 @@ def model_enrich(tool, ts, pods, namespaces, cfg):
     if not m:
         m = CONT_RX.search(tool or "")
         branch = "containers" if m else None
-    if not m or cfg.kubernetes_url is None:
+    if not m:
         return out
 
     ns_name = m.group("namespace")
@@ -45,6 +45,13 @@ def model_enrich(tool, ts, pods, namespaces, cfg):
     out["container_name"] = container
     if docker_id:
         out["docker_container_id"] = docker_id
+
+    if cfg.kubernetes_url is None:
+        # filter:337 — get_pod_metadata is url-gated; base identity +
+        # docker id above are not
+        if out.get("docker_container_id") in (None, ""):
+            out.pop("docker_container_id", None)
+        return out
 
     pod = pods.get((ns_name, pod_name))
     ns = None if cfg.skip_namespace_metadata else namespaces.get(ns_name)

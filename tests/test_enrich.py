@@ -168,10 +168,16 @@ def test_passthrough_non_matching(spark, pods_dim, ns_dim):
 
 
 def test_enrichment_disabled_without_url(spark, pods_dim, ns_dim):
-    # filter:337 — no kubernetes_url: only base identity would be set by
-    # the reference; our flat contract keeps identity but no dim fields
+    # filter:326-337 — no kubernetes_url: base identity fields and the
+    # tag docker id are still emitted on a tag match (only the
+    # get_pod_metadata dim lookup is url-gated); no dim fields, no orphan
     r = run(spark, pods_dim, ns_dim, TAG_CONTAINERS, PipelineConfig(kubernetes_url=None))
-    assert r == {}
+    assert r == {
+        "namespace_name": "default",
+        "pod_name": POD_NAME,
+        "container_name": CONTAINER,
+        "docker_container_id": DOCKER_ID,
+    }
 
 
 def test_init_container_empty_ids_omitted(spark, pods_dim, ns_dim):
