@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,
         "minhash_pairs": q.q_minhash_pairs,
+        "minhash_jaccard_verified": q.q_minhash_jaccard_verified,
         "simhash": q.q_simhash,
         "neardup_brute": q.q_neardup_brute,
         "lsh_neardup": q.q_lsh_neardup,

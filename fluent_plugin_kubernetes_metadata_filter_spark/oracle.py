@@ -376,6 +376,38 @@ p AS (
 )
 SELECT id_a, id_b, sim FROM p WHERE sim >= 0.2"""
 
+    # Independent exact all-pairs Jaccard (ops/dedup.shingles definition:
+    # distinct 3-gram word shingles, whole-text fallback for <3-token
+    # docs). Checks the engine's LSH-candidate + verify output by VALUE:
+    # passes only if the verify stage is exact and LSH recall is 1.0 at
+    # this sf (measured; see q_minhash_jaccard_verified).
+    q["minhash_jaccard_verified"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+  WHERE len(tk) >= 3
+  UNION
+  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard,
+         i * 1.0 / (sa.sz + sb.sz - i) AS raw_j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE raw_j >= 0.5"""
+
     # argmax over stopword profiles; WHEN order = en,de,fr,es (ties -> en)
     prof = {
         "en": ("the", "a", "of", "and", "to", "is", "in"),

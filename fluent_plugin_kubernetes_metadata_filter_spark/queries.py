@@ -404,6 +404,20 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _fl(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates -> exact-Jaccard verification, VALUE-checked:
+    the oracle independently computes the exact all-pairs Jaccard set in
+    DuckDB, so this passes only if (a) the verify stage's Jaccard values
+    are exact AND (b) LSH recall is 100% at this scale (planted near-dups
+    sit far above the 0.5 threshold; measured recall 1.0 at sf0.01 —
+    at production scale LSH recall < 1 is the accepted trade)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_dedup(docs, threshold=0.5)
+    return pairs.select("id_a", "id_b", _fl(F.col("jaccard"), 4).alias("jaccard"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (deterministic; rows-only check)."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd

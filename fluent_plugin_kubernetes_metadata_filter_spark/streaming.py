@@ -56,19 +56,79 @@ def read_transcript_stream(spark: SparkSession, path: str,
     )
 
 
+class WatchStats:
+    """Per-batch dim-refresh accounting in the reference's watch counter
+    vocabulary (watch_pods.rb:137-204 / watch_namespaces.rb analogues).
+
+    The reference bumps a counter per watch notice; the Spark analogue
+    diffs consecutive dim snapshots per micro-batch:
+
+      first-load row / new key   -> {kind}_cache_host_updates
+                                    (initial get_pods list, :140)
+      same key, changed content  -> {kind}_cache_watch_updates (:176)
+      key gone from snapshot     -> {kind}_cache_watch_delete_ignored
+                                    (:187 — DELETE notices are counted,
+                                    enrichment keeps serving until TTL)
+      dims_loader raised         -> {kind}_watch_failures
+
+    Snapshot fingerprints are one md5 per dim row — dims are
+    broadcast-small by design (enrich.py scale notes), so the collect is
+    O(dim), not O(stream)."""
+
+    def __init__(self) -> None:
+        self.counters: dict[str, int] = {}
+        self._prev: dict[str, dict] = {"pod": None, "namespace": None}
+
+    def bump(self, name: str, n: int = 1) -> None:
+        if n:
+            self.counters[name] = self.counters.get(name, 0) + n
+
+    def _fingerprint(self, df: DataFrame, key_cols: list[str]) -> dict:
+        rows = df.select(
+            F.concat_ws("/", *key_cols).alias("k"),
+            F.md5(F.to_json(F.struct(*df.columns))).alias("h"),
+        ).collect()
+        return {r.k: r.h for r in rows}
+
+    def observe(self, kind: str, df: DataFrame, key_cols: list[str]) -> None:
+        cur = self._fingerprint(df, key_cols)
+        prev = self._prev[kind]
+        if prev is None:
+            self.bump(f"{kind}_cache_host_updates", len(cur))
+        else:
+            self.bump(f"{kind}_cache_host_updates",
+                      sum(1 for k in cur if k not in prev))
+            self.bump(f"{kind}_cache_watch_updates",
+                      sum(1 for k, h in cur.items() if k in prev and prev[k] != h))
+            self.bump(f"{kind}_cache_watch_delete_ignored",
+                      sum(1 for k in prev if k not in cur))
+        self._prev[kind] = cur
+
+
 def enrich_stream(stream_df: DataFrame, dims_loader: Callable[[], tuple[DataFrame, DataFrame]],
                   sink: Callable[[DataFrame, int], None],
                   cfg: PipelineConfig = PipelineConfig(),
-                  checkpoint_dir: str | None = None) -> StreamingQuery:
+                  checkpoint_dir: str | None = None,
+                  watch_stats: WatchStats | None = None) -> StreamingQuery:
     """foreachBatch enrichment with per-batch dim refresh.
 
     ``dims_loader`` is called every micro-batch and must return fresh
     (pods_dim, namespaces_dim) DataFrames — the O3 watch-CDC analogue.
     ``sink(batch_df, batch_id)`` owns the write (idempotent by batch_id
-    for exactly-once)."""
+    for exactly-once). Pass a ``WatchStats`` to get the reference's
+    watch-path counters per batch."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        pods, ns = dims_loader()
+        try:
+            pods, ns = dims_loader()
+        except Exception:
+            if watch_stats is not None:
+                watch_stats.bump("pod_watch_failures")
+                watch_stats.bump("namespace_watch_failures")
+            raise
+        if watch_stats is not None:
+            watch_stats.observe("pod", pods, ["namespace_name", "pod_name"])
+            watch_stats.observe("namespace", ns, ["namespace_name"])
         out = enrich(batch_df, pods, ns, cfg)
         sink(out, batch_id)
 
@@ -86,8 +146,12 @@ def windowed_sink_counts(stream_df: DataFrame,
                          query_name: str = "sink_counts") -> StreamingQuery:
     """Continuous per-sink counts over event-time windows with a
     watermark for late turns (the streaming analogue of the stats dump,
-    O22/O23). Uses a stream-static join: the static side is resolved per
-    micro-batch, giving the dim-refresh semantics without foreachBatch."""
+    O22/O23). Uses a stream-static join; NOTE the static side's parquet
+    file index is captured at query analysis, so the dims are a FIXED
+    snapshot for the query's lifetime — dim rows updated between
+    micro-batches are not picked up here. For the O24 watch-upsert
+    semantics (true per-batch dim refresh) use ``enrich_stream``, whose
+    foreachBatch re-reads the dims every batch."""
     pods, ns = dims_loader()
     enriched = enrich(stream_df, pods, ns, cfg)
     agg = (

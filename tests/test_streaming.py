@@ -79,6 +79,67 @@ def test_dim_refresh_between_batches(spark):
     assert sum(seen) > 0
 
 
+def test_watch_stats_counters(spark, tmp_path):
+    """Watch-path counters (watch_pods.rb vocabulary): initial load bumps
+    host_updates; a row modified between batches bumps watch_updates; a
+    row dropped from the snapshot bumps watch_delete_ignored."""
+    base = aux_dir(SF)
+    # two micro-batches: split the transcripts into two files
+    src = spark.read.parquet(f"{base}/transcripts.parquet").limit(200)
+    d = str(tmp_path / "stream-in")
+    src.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(d)
+    src.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    pods0 = spark.read.parquet(f"{base}/pods_dim.parquet")
+    ns0 = spark.read.parquet(f"{base}/namespaces_dim.parquet")
+    n_pods = pods0.count()
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return pods0, ns0
+        # batch 2+: first pod row modified, last pod row deleted
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.orderBy("namespace_name", "pod_name"))
+        ranked = pods0.withColumn("rn", rn)
+        mutated = (
+            ranked.where(F.col("rn") < n_pods)  # last row deleted
+            .withColumn("host", F.when(F.col("rn") == 1, F.lit("moved-node")).otherwise(F.col("host")))
+            .drop("rn")
+        )
+        return mutated, ns0
+
+    stats = streaming.WatchStats()
+    q = streaming.enrich_stream(stream, loader, lambda df, bid: df.count(), watch_stats=stats)
+    q.awaitTermination(120)
+    assert calls["n"] >= 2
+    c = stats.counters
+    assert c["pod_cache_host_updates"] == n_pods  # initial list load
+    assert c["pod_cache_watch_updates"] >= 1      # MODIFIED analogue
+    assert c["pod_cache_watch_delete_ignored"] >= 1
+    assert c["namespace_cache_host_updates"] == ns0.count()
+    assert "namespace_cache_watch_updates" not in c  # ns dim unchanged
+
+
+def test_watch_stats_failure_counter(spark, tmp_path):
+    base = aux_dir(SF)
+    stream = streaming.read_transcript_stream(spark, base, max_files_per_trigger=1)
+
+    def bad_loader():
+        raise RuntimeError("watch connection lost")
+
+    stats = streaming.WatchStats()
+    q = streaming.enrich_stream(stream, bad_loader, lambda df, bid: None, watch_stats=stats)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert stats.counters.get("pod_watch_failures", 0) >= 1
+
+
 def test_conversation_progress_stateful(spark, tmp_path):
     """applyInPandasWithState: state must accumulate across micro-batches
     (conversations split over multiple input files)."""
