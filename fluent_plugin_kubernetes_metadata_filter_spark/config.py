@@ -19,11 +19,17 @@ class PipelineConfig:
     (filter_kubernetes_metadata.rb:44-99).
     """
 
-    # filter:44 — when None the enrichment joins are skipped entirely and
-    # every row passes through with only the base kubernetes struct absent
-    # (the reference only enriches when a kubernetes_url is configured,
-    # filter_kubernetes_metadata.rb:337).
+    # filter:44 — when None the dim lookups are skipped (get_pod_metadata
+    # is gated on present?(kubernetes_url), filter:337) but base identity
+    # fields + the tag docker id are STILL emitted on a tag match
+    # (filter:326-336); see enrich.py.
     kubernetes_url: str | None = "https://kubernetes.default.svc"
+
+    # filter:45-47 — cache_size / cache_ttl / ignore_nil have NO engine
+    # analogue by design: they tune the reference's in-process LRU+TTL
+    # caches (filter:198-204), which the broadcast dim joins replace
+    # entirely (no per-worker cache => no size cap, no nil-result caching
+    # policy; TTL age-out survives as io.dim_with_ttl, O25).
 
     # filter:72 — list of regexes; an annotation is kept iff its KEY matches
     # any regex (kubernetes_metadata_common.rb:30-38). Default [] means

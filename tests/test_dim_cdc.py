@@ -1,0 +1,79 @@
+"""O24 full form: watch-MODIFIED delta-apply merge semantics
+(watch_pods.rb:168-186) + the Iceberg-fallback snapshot contract."""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from fluent_plugin_kubernetes_metadata_filter_spark.checkpoint import input_snapshot_id
+from fluent_plugin_kubernetes_metadata_filter_spark.dim_cdc import apply_dim_updates
+from fluent_plugin_kubernetes_metadata_filter_spark.io import try_iceberg_table
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "namespace_name string, pod_name string, host string, pod_ip string")
+
+
+def test_modified_updates_existing_key(spark):
+    cur = _dim(spark, [("ns", "a", "node-1", "10.0.0.1"), ("ns", "b", "node-2", "10.0.0.2")])
+    upd = _dim(spark, [("ns", "a", "node-1", "10.9.9.9")])
+    out = {(r.namespace_name, r.pod_name): r.pod_ip for r in apply_dim_updates(cur, upd).collect()}
+    assert out == {("ns", "a"): "10.9.9.9", ("ns", "b"): "10.0.0.2"}
+
+
+def test_new_key_gated_by_node_scope(spark):
+    """Uncached uid: inserted only when scheduled on this node
+    (watch_pods.rb:176-180); other-node rows are the watch-miss path."""
+    cur = _dim(spark, [("ns", "a", "node-1", "10.0.0.1")])
+    upd = _dim(spark, [("ns", "new-here", "node-1", "10.0.0.7"),
+                       ("ns", "new-elsewhere", "node-9", "10.0.0.8")])
+    out = {r.pod_name for r in apply_dim_updates(cur, upd, node_name="node-1").collect()}
+    assert out == {"a", "new-here"}
+    # no node scoping -> both inserted
+    out2 = {r.pod_name for r in apply_dim_updates(cur, upd).collect()}
+    assert out2 == {"a", "new-here", "new-elsewhere"}
+
+
+def test_node_scope_does_not_block_updates_to_cached_keys(spark):
+    """A MODIFIED notice for a cached key applies even if the pod moved
+    to another node (the cached branch has no node gate, :168-172)."""
+    cur = _dim(spark, [("ns", "a", "node-1", "10.0.0.1")])
+    upd = _dim(spark, [("ns", "a", "node-9", "10.1.1.1")])
+    out = apply_dim_updates(cur, upd, node_name="node-1").collect()
+    assert len(out) == 1 and out[0].host == "node-9" and out[0].pod_ip == "10.1.1.1"
+
+
+def test_deletes_never_applied(spark):
+    """A key absent from the update batch is retained (DELETED notices
+    are ignored, :182-186; eviction is TTL-based, O25)."""
+    cur = _dim(spark, [("ns", "a", "node-1", "10.0.0.1"), ("ns", "b", "node-2", "10.0.0.2")])
+    upd = _dim(spark, [])
+    assert apply_dim_updates(cur, upd).count() == 2
+
+
+# ---------------------------------------------- Iceberg fallback contract
+
+def test_try_iceberg_table_fallback_is_deterministic(spark):
+    """No Iceberg runtime in this sandbox (no network for jars): the
+    reader must return None — never raise — so callers always take the
+    parquet path; see BASELINE.md 'Iceberg blocker'."""
+    assert try_iceberg_table(spark, "nosuch.catalog.table") is None
+
+
+def test_input_snapshot_id_contract(spark, tmp_path):
+    """Parquet fallback for the Iceberg snapshot id: stable across calls,
+    sensitive to any parquet file change, blind to non-parquet noise."""
+    d = str(tmp_path / "snap")
+    spark.range(10).coalesce(1).write.parquet(d)
+    s1 = input_snapshot_id(spark, d)
+    assert s1 == input_snapshot_id(spark, d)
+    # non-parquet files don't change the snapshot
+    with open(os.path.join(d, "notes.txt"), "w") as fh:
+        fh.write("x")
+    assert input_snapshot_id(spark, d) == s1
+    # any parquet mutation does
+    pq = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    t = time.time() + 5
+    os.utime(os.path.join(d, pq), (t, t))
+    assert input_snapshot_id(spark, d) != s1
