@@ -82,6 +82,19 @@ class PipelineConfig:
     # hottest sink cannot straggle the write stage.
     salt_buckets: int = 8
 
+    # Physical layout of the fan-out write (route.py):
+    #   True  — dedicated exchange keyed by (route, conv-salt): each write
+    #           task serves few sinks, so output files stay O(sinks +
+    #           salt); the right default when sinks x tasks would explode
+    #           the file count (10^3 namespaces x 10^5 tasks at 100 TB).
+    #   False — single-exchange mode: write directly from the conv_id
+    #           window partitioning (high-cardinality, uniform — skew-free
+    #           by construction). Drops the only FULL-WIDTH shuffle from
+    #           the job (the window exchange carries just the narrow input
+    #           columns); files become tasks x sinks-per-task, the better
+    #           trade up to O(100) sinks. Content is identical either way.
+    route_exchange: bool = True
+
     # Parallelism hint for the salted repartition; None = leave to AQE.
     shuffle_partitions: int | None = None
 

@@ -199,21 +199,22 @@ def kmeans_centroids(df: DataFrame, dim: int, k: int = 16, n_iter: int = 2,
 
 
 def _nearest_centroid(v, cents: list[list[float]]):
-    """argmin_i ||v - c_i||^2 as a when-chain (k literal comparisons)."""
-    best_i = F.lit(0)
-    best_d = None
-    for i, c in enumerate(cents):
-        cl = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, cl, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
-        )
-        if best_d is None:
-            best_d, best_i = d, F.lit(i)
-        else:
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_i
+    """argmin_i ||v - c_i||^2 at O(1) expression DEPTH: the centroid
+    matrix is one literal array-of-arrays, ``transform`` yields all k
+    distances as a single array, argmin = position of the min (first
+    occurrence, i.e. lowest index on exact ties — identical to a strict
+    ``<`` when-chain). A when-chain grows codegen linearly in k and
+    falls out of JIT compilation around k ~ 256; this stays flat."""
+    cm = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    ds = F.transform(
+        cm,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
@@ -237,22 +238,21 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(float(x)) for x in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, cent in enumerate(cents)
-        ]
+    # same flat-depth pattern as _nearest_centroid: one literal centroid
+    # matrix, all k distances as a single array, nprobe smallest by sort
+    cm = F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents])
+    ds = F.transform(
+        cm,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    dists = F.zip_with(
+        ds,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("c")),
     )
     probed = q.withColumn(
         "c", F.explode(F.transform(F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["c"]))

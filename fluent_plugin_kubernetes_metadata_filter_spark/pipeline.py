@@ -57,6 +57,13 @@ def routed_output(spark: SparkSession, sf_dir: str,
     df = assemble_structs(df)
     keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
     df = df.select(*keep)
+    if not cfg.route_exchange:
+        # single-exchange mode: the conv_id window exchange (narrow
+        # columns) is the job's ONLY shuffle — enrichment is broadcast
+        # and the write proceeds straight from the window partitioning,
+        # which is uniform by construction (high-cardinality conv_id).
+        # See PipelineConfig.route_exchange for the file-count trade.
+        return df
     return route_partition(df, cfg, cfg.route_column)
 
 

@@ -75,3 +75,29 @@ def test_routed_output_has_exactly_two_exchanges(spark):
     assert shuffles == 2, tree
     # enrichment joins stay broadcast even inside the full job
     assert tree.count("BroadcastHashJoin") == 2
+
+
+def test_single_exchange_mode_has_one_exchange(spark):
+    """route_exchange=False: the conv_id window is the job's ONLY
+    shuffle — the full-width route exchange is gone."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+    from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+
+    df = pipeline.routed_output(spark, SF, cfg=PipelineConfig(route_exchange=False))
+    tree = _formatted(df).split("\n\n")[0]
+    assert tree.count("- Exchange (") == 1, tree
+    assert tree.count("BroadcastHashJoin") == 2
+
+
+def test_single_exchange_mode_content_parity(spark, tmp_path):
+    """Both physical layouts write identical routed content."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+    from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+
+    a = pipeline.run(spark, SF, out_dir=str(tmp_path / "a"))
+    b = pipeline.run(spark, SF, out_dir=str(tmp_path / "b"),
+                     cfg=PipelineConfig(route_exchange=False))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    ra = spark.read.parquet(str(tmp_path / "a")).select("conv_id", "turn_seq", "text")
+    rb = spark.read.parquet(str(tmp_path / "b")).select("conv_id", "turn_seq", "text")
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
