@@ -40,6 +40,20 @@ def bench(spark, sf_dir):
         timed("enrich_route_write", lambda: pipeline.run(spark, sf_dir, out_dir=out).collect())
     finally:
         shutil.rmtree(out, ignore_errors=True)
+    # single-exchange layout (route_exchange=False): the scale-friendly
+    # physical plan at this sink count — same written content, one shuffle
+    from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
+
+    out2 = tempfile.mkdtemp(prefix="bench-routed-direct-")
+    try:
+        timed(
+            "enrich_route_write_direct",
+            lambda: pipeline.run(
+                spark, sf_dir, out_dir=out2, cfg=PipelineConfig(route_exchange=False)
+            ).collect(),
+        )
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
     timed("enrich_flat", lambda: q.q_enrich_flat(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("route_counts", lambda: q.q_route_counts(spark, sf_dir).collect())
     timed("parse_containers", lambda: q.q_parse_containers(spark, sf_dir).write.format("noop").mode("overwrite").save())
