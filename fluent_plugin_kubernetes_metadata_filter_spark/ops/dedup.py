@@ -75,11 +75,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Text-expansion ops (shingling, hashing, n_perm aggregates) do
+    ~100x work per input BYTE, so a scan split by file size
+    under-parallelizes small inputs — one sub-2MB parquet file is a
+    single task doing all the shingling. Repartition by the doc key up
+    to default parallelism when the scan has fewer splits; a no-op at
+    scale, where the input already carries thousands of splits."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, key)
+    return df
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_perm: int = N_PERM, seed: int = 42) -> DataFrame:
     """(id, sig: array<bigint>[n_perm]) via explode + single groupBy with
     n_perm min-aggregates (one shuffle, map-side combined)."""
     a, b = _perm_params(n_perm, seed)
+    df = _spread(df, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
     # 31-bit shingle hash (xxhash64 folded) keeps a*h+b inside int64
     h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
@@ -185,7 +199,9 @@ def grouped_pair_expansion(
 def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (never all-pairs)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+    sh = _spread(df, id_col).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -219,7 +235,9 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over token hashes, expression-only: explode tokens,
     per-bit +-1 sums in ONE groupBy, reassemble the sign bits."""
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t"))
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t")
+    )
     h = F.xxhash64(F.col("t"))
     aggs = [
         F.sum(
