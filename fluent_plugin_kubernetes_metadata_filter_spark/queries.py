@@ -344,7 +344,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Results are identical to the string-keyed form barring a 64-bit
     # hash collision (p ~ n^2/2^65; the DuckDB oracle computes from raw
     # shingles and stays value-equal — verified at sf0.01 and sf0.1).
-    toks = docs.select(
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
+
+    toks = _spread(docs, "doc_id").select(
         "doc_id", F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("tok")
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

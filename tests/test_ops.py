@@ -92,6 +92,26 @@ def test_propagate_min_keeper(spark):
     assert keep == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 99: 99}
 
 
+def test_grouped_pair_expansion_matches_self_join(spark):
+    """Property: the one-shuffle grouped expansion equals the textbook
+    self-join formulation on randomized (doc, token) tables."""
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        rows = [(rnd.randrange(40), f"t{rnd.randrange(25)}") for _ in range(300)]
+        toks = spark.createDataFrame(set(rows), "doc_id long, tok string")
+        got, _ = dedup.grouped_pair_expansion(toks, df_cap=None)
+        a = toks.select(F.col("doc_id").alias("id_a"), "tok")
+        b = toks.select(F.col("doc_id").alias("id_b"), "tok")
+        want = (
+            a.join(b, "tok")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_propagate_min_keeper_bounded_plan(spark):
     """A long path graph needs many propagation rounds; per-round
     localCheckpoint must keep the final plan one-join deep instead of
