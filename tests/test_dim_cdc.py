@@ -52,6 +52,50 @@ def test_deletes_never_applied(spark):
     assert apply_dim_updates(cur, upd).count() == 2
 
 
+def test_cdc_dims_loader_with_enrich_stream(spark, tmp_path):
+    """Delta-apply loader end-to-end: a pod update batch written between
+    micro-batches changes the dim the stream enriches with, and
+    WatchStats records it as a watch update."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import streaming
+    from fluent_plugin_kubernetes_metadata_filter_spark.dim_cdc import cdc_dims_loader
+    from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
+
+    base = aux_dir("/root/testdata/sf0.001")
+    src = spark.read.parquet(f"{base}/transcripts.parquet").limit(100)
+    d = str(tmp_path / "in")
+    src.where(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(d)
+    src.where(F.col("turn_idx") % 2 == 1).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    upd_dir = str(tmp_path / "pod-updates")
+    pods0 = spark.read.parquet(f"{base}/pods_dim.parquet")
+    first_batch_done = {"v": False}
+
+    loader = cdc_dims_loader(
+        spark, f"{base}/pods_dim.parquet", f"{base}/namespaces_dim.parquet",
+        pods_updates_path=upd_dir,
+    )
+
+    def wrapped():
+        if first_batch_done["v"] and not os.path.exists(upd_dir):
+            # write an update batch between micro-batches
+            pods0.limit(1).withColumn("host", F.lit("cdc-moved")).write.parquet(upd_dir)
+        pods, ns = loader()
+        first_batch_done["v"] = True
+        return pods, ns
+
+    stats = streaming.WatchStats()
+    hosts = []
+    q = streaming.enrich_stream(
+        stream, wrapped,
+        lambda df, bid: hosts.append({r.host for r in df.select("host").where(F.col("host").isNotNull()).collect()}),
+        watch_stats=stats,
+    )
+    q.awaitTermination(120)
+    assert len(hosts) >= 2
+    assert stats.counters.get("pod_cache_watch_updates", 0) >= 1
+
+
 # ---------------------------------------------- Iceberg fallback contract
 
 def test_try_iceberg_table_fallback_is_deterministic(spark):
