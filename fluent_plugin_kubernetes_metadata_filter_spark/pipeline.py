@@ -90,3 +90,46 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
             .orderBy("sink")
         )
     return per_sink_counts(df, cfg.route_column).orderBy("sink")
+
+
+def run_resumable(spark: SparkSession, sf_dir: str, out_dir: str,
+                  manifest_dir: str,
+                  cfg: PipelineConfig = PipelineConfig()) -> dict:
+    """The north-rule composition in one call: enrich+route, written as a
+    RESUMABLE fan-out (per-partition lineage manifest keyed by the input
+    snapshot — a re-run after a crash skips completed sinks), with the
+    reference-vocabulary counters attached to the same DAG execution.
+
+    Returns {"counts": {sink: rows}, "stats": {...counters...},
+    "lineage": [records], "input_snapshot": id}. See checkpoint.py for
+    the manifest contract and metrics.py for the counter vocabulary.
+    """
+    from fluent_plugin_kubernetes_metadata_filter_spark.checkpoint import (
+        LineageManifest,
+        input_snapshot_id,
+        resumable_fanout_write,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
+    from fluent_plugin_kubernetes_metadata_filter_spark.metrics import PipelineStats
+
+    snapshot = input_snapshot_id(spark, aux_dir(sf_dir))
+    df = load_table(spark, sf_dir, "transcripts")
+    df = stable_order(df)
+    pods = load_table(spark, sf_dir, "pods_dim")
+    ns = load_table(spark, sf_dir, "namespaces_dim")
+    df = enrich(df, pods, ns, cfg)
+    stats = PipelineStats()
+    df = stats.attach(df)
+    df = assemble_structs(df)
+    keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
+    df = df.select(*keep)
+    if cfg.route_exchange:
+        df = route_partition(df, cfg, cfg.route_column)
+    manifest = LineageManifest(manifest_dir)
+    written = resumable_fanout_write(df, out_dir, manifest, snapshot, cfg.route_column)
+    return {
+        "counts": {r.sink: r.rows for r in written},
+        "stats": stats.dump(),
+        "lineage": written,
+        "input_snapshot": snapshot,
+    }

@@ -72,3 +72,24 @@ def test_partial_resume(spark):
 
     rest = resumable_fanout_write(df, out, manifest, snap, sink_batch=100)
     assert {r.sink for r in rest} == set(sinks) - set(pre)
+
+
+def test_run_resumable_end_to_end(spark, tmp_path):
+    """North-rule composition: counts + counters + lineage from ONE DAG
+    execution; an immediate re-run with the same manifest skips every
+    sink (lineage empty) because the input snapshot is unchanged."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
+
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest")
+    r1 = pipeline.run_resumable(spark, "/root/testdata/sf0.001", out, man)
+    assert r1["counts"] and sum(r1["counts"].values()) > 0
+    assert r1["stats"]["events_total"] > 0 and r1["stats"]["pod_enriched"] > 0
+    assert len(r1["lineage"]) == len(r1["counts"])
+    # the written output matches the plain run's per-sink counts
+    plain = {r.sink: r.n_rows for r in pipeline.run(spark, "/root/testdata/sf0.001").collect()}
+    got = {("__passthrough__" if s == "__HIVE_DEFAULT_PARTITION__" else s): n
+           for s, n in r1["counts"].items()}
+    assert got == plain
+    # resume: same snapshot -> nothing rewritten
+    r2 = pipeline.run_resumable(spark, "/root/testdata/sf0.001", out, man)
+    assert r2["lineage"] == [] and r2["input_snapshot"] == r1["input_snapshot"]
