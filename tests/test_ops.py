@@ -92,6 +92,16 @@ def test_propagate_min_keeper(spark):
     assert keep == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20, 99: 99}
 
 
+def test_minhash_signatures_single_shuffle_plan(spark, docs):
+    """Scale armor: the signature computation must stay ONE shuffle (the
+    doc-key groupBy with map-side combine) plus the small-input spread;
+    a second data exchange here would double the 100 TB cost."""
+    sigs = dedup.minhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # spread + groupBy
+    assert "partial_min" in plan or "HashAggregate" in plan  # map-side combine
+
+
 def test_grouped_pair_expansion_matches_self_join(spark):
     """Property: the one-shuffle grouped expansion equals the textbook
     self-join formulation on randomized (doc, token) tables."""

@@ -25,6 +25,29 @@ def test_salting_preserves_content(spark):
     assert sorted(salted.columns) == sorted(df.columns)  # no _salt leak
 
 
+def test_salting_splits_hot_sink_quantitatively(spark):
+    """Skew evidence: the fixture's 'default' sink holds >50% of all
+    rows; after the (route, conv-salt) layout no single (route, salt)
+    group may exceed ~2x the ideal per-bucket share of that hot sink."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.route import route_partition
+
+    cfg = PipelineConfig(salt_buckets=16)
+    # sf0.01: conversations are <=320 turns, so conv-level salt chunks
+    # are small relative to the hot sink (sf0.001 is too lumpy to bound)
+    df = pipeline.enrich_transcripts(spark, "/root/testdata/sf0.01")
+    hot_total = df.where(F.col("namespace_name") == "default").count()
+    salt = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(cfg.salt_buckets))
+    groups = (
+        df.where(F.col("namespace_name") == "default")
+        .groupBy(salt.alias("s")).count().collect()
+    )
+    assert len(groups) == cfg.salt_buckets  # every bucket in use
+    assert max(r["count"] for r in groups) <= 2 * hot_total / cfg.salt_buckets
+    # and the physical layout keeps content intact
+    routed = route_partition(df, cfg, "namespace_name")
+    assert routed.count() == df.count()
+
+
 def test_stable_order_is_turn_idx_plus_one(spark):
     """turn_seq must be a deterministic function of (conv_id, turn_idx)
     regardless of physical placement: our generator emits contiguous
