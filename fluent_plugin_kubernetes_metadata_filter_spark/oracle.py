@@ -465,9 +465,13 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- CAST: DuckDB's windowed SUM(int) widens to HUGEINT (int128); the
+  -- driver's hasher canonicalizes Arrow types, so int128 != Spark's
+  -- int64 even when every value is equal. BIGINT matches Spark's
+  -- sum-over-window output type exactly.
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
