@@ -11,12 +11,16 @@ Four tiers, all deterministic and shuffle-conscious:
                 cosine verification (see similarity.py for the ANN path)
 
 Scale notes: every stage is expression-only (whole-stage codegen; no
-Python in the hot path). The LSH self-joins shuffle on (band, signature)
-— band signatures distribute uniformly by construction, so there is no
-hot key; candidate verification touches only the candidate pairs, never
-the full cross product. At 100 TB you tune n_bands/rows_per_band for the
-target Jaccard threshold s ~ (1/b)^(1/r) and the verify stage stays
-proportional to the true-duplicate density.
+Python in the hot path). ALL candidate generation (n-gram, MinHash-LSH,
+SimHash) routes through one machinery — ``grouped_pair_expansion`` —
+one shuffle keyed by an int64 bucket hash, k^2 pair expansion bounded
+by an observable per-bucket cap. Buckets over the cap are dropped: for
+near-dup buckets those are hash collisions with no similarity signal;
+for exact-duplicate mega-clusters (ubiquitous at web scale, and they
+share EVERY band) run ``exact_dedup`` first and feed only keepers. At
+100 TB you tune n_bands/rows_per_band for the target Jaccard threshold
+s ~ (1/b)^(1/r) and the verify stage stays proportional to the
+true-duplicate density.
 """
 
 from __future__ import annotations
@@ -106,46 +110,54 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                           n_bands: int = N_BANDS) -> DataFrame:
+                           n_bands: int = N_BANDS,
+                           bucket_cap: int | None = 512) -> tuple[DataFrame, Observation | None]:
     """Banded LSH: docs sharing any band signature become a candidate
-    pair. Shuffle key = (band, band_hash) — uniform by construction."""
+    pair, via the capped grouped expansion (one shuffle keyed by the
+    band-bucket hash — uniform by construction).
+
+    A bucket of k docs expands k^2/2 pairs, and exact duplicates share
+    ALL bands — at web scale a mega-cluster of identical documents would
+    otherwise blow up a single task 16 times over. Buckets larger than
+    ``bucket_cap`` are dropped (observable via the returned Observation:
+    ``dropped_tokens``/``max_df``), so duplicate CLUSTERS above the cap
+    must be collapsed by an ``exact_dedup`` pre-pass (see
+    ``minhash_dedup``); near-dup buckets above the cap are random
+    band-hash collisions carrying no similarity signal.
+
+    The bucket key folds (band_idx, band_values) into one int64 xxhash64
+    — cheaper to shuffle than a struct, and a hash collision can only
+    MERGE two buckets (extra candidates that exact-Jaccard verification
+    rejects), never lose a true pair.
+    """
     r = F.size(F.col("sig")) / n_bands
     bands = sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    (bidx * r + 1).cast("int"),
-                                    r.cast("int"),
-                                ),
-                                lambda v: v.cast("string"),
+                lambda bidx: F.xxhash64(
+                    bidx,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                (bidx * r + 1).cast("int"),
+                                r.cast("int"),
                             ),
-                        )
-                    ).alias("bh"),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
                 ),
             )
-        ).alias("b"),
-    ).select(id_col, "b.band", "b.bh")
-    l = bands.alias("l")
-    rt = bands.alias("r")
-    return (
-        l.join(
-            rt,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+        ).alias("bb"),
     )
+    pairs, obs = grouped_pair_expansion(
+        bands, id_col=id_col, tok_col="bb", df_cap=bucket_cap
+    )
+    # a pair sharing several bands expands once per band
+    return pairs.distinct(), obs
 
 
 def grouped_pair_expansion(
@@ -153,6 +165,7 @@ def grouped_pair_expansion(
     id_col: str = "doc_id",
     tok_col: str = "tok",
     df_cap: int | None = 256,
+    payload_col: str | None = None,
 ) -> tuple[DataFrame, Observation | None]:
     """Ordered candidate pairs from a (id, token) table in ONE shuffle:
     group by token, sorted doc-list per token, pairs expanded inline —
@@ -166,10 +179,20 @@ def grouped_pair_expansion(
     silent: the returned Observation reports ``dropped_tokens`` and
     ``max_df`` once an action consumes the pairs. ``df_cap=None``
     disables the cap (test-scale only).
+
+    ``payload_col`` rides a per-doc value (e.g. a simhash) through the
+    expansion so verification can run inline on the pair rows — output
+    gains ``payload_a``/``payload_b`` columns — instead of re-joining
+    the doc table twice (two extra shuffles at corpus width).
     """
+    if payload_col is None:
+        collected = F.collect_list(id_col)
+    else:
+        collected = F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
     groups = (
+        # ids are unique, so sorting structs (id first) orders by id
         toks.groupBy(tok_col)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+        .agg(F.sort_array(collected).alias("ds"))
         .where(F.size("ds") > 1)
     )
     obs: Observation | None = None
@@ -180,6 +203,17 @@ def grouped_pair_expansion(
             F.count(F.when(F.size("ds") > df_cap, 1)).alias("dropped_tokens"),
             F.max(F.size("ds")).alias("max_df"),
         ).where(F.size("ds") <= df_cap)
+    if payload_col is None:
+        mk = lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b"))  # noqa: E731
+        out_cols = ["p.id_a", "p.id_b"]
+    else:
+        mk = lambda a, b: F.struct(  # noqa: E731
+            a[id_col].alias("id_a"),
+            b[id_col].alias("id_b"),
+            a[payload_col].alias("payload_a"),
+            b[payload_col].alias("payload_b"),
+        )
+        out_cols = ["p.id_a", "p.id_b", "p.payload_a", "p.payload_b"]
     pairs = groups.select(
         F.explode(
             F.flatten(
@@ -187,12 +221,12 @@ def grouped_pair_expansion(
                     F.col("ds"),
                     lambda a, i: F.transform(
                         F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        lambda b: mk(a, b),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    ).select(*out_cols)
     return pairs, obs
 
 
@@ -223,10 +257,16 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.5) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline -> verified pairs."""
+                  threshold: float = 0.5, bucket_cap: int | None = 512) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline -> verified pairs.
+
+    ``bucket_cap`` bounds per-bucket pair expansion (see
+    minhash_lsh_candidates). Web-scale corpora carry exact-duplicate
+    clusters far larger than any sane cap — run ``exact_dedup`` first
+    and feed only the keepers here, so LSH buckets hold at most one
+    member per exact-duplicate cluster."""
     sigs = minhash_signatures(df, text_col, id_col)
-    cand = minhash_lsh_candidates(sigs, id_col)
+    cand, _obs = minhash_lsh_candidates(sigs, id_col, bucket_cap=bucket_cap)
     return jaccard_verify(df, cand, text_col, id_col, threshold)
 
 
@@ -254,47 +294,68 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return per_bit.select(id_col, sim.alias("simhash"))
 
 
-def simhash_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by hamming distance <= k, banded on 4x16-bit chunks
-    (pigeonhole: any pair within hamming 3 shares at least one chunk)."""
-    chunks = hashes.select(
+def _chunk_widths(n_chunks: int, total_bits: int = 64) -> list[int]:
+    base = total_bits // n_chunks
+    extra = total_bits % n_chunks
+    return [base + (1 if i < extra else 0) for i in range(n_chunks)]
+
+
+def simhash_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+                  n_chunks: int = 5,
+                  bucket_cap: int | None = 512) -> DataFrame:
+    """Near-dup pairs by hamming distance <= k, banded on 2-chunk
+    COMBINATIONS of ``n_chunks`` bit-chunks.
+
+    Pigeonhole: <=k differing bits touch at most k chunks, so with
+    ``n_chunks >= k + 2`` at least two chunks are clean and the pair
+    shares at least one 2-chunk combo band. The combo key carries
+    ~2*64/n_chunks bits (26 for the default 5 chunks = 2^26 distinct
+    values/band), so bucket cardinality grows with the corpus — unlike
+    single 16-bit chunks, whose 65,536 buckets fill linearly and stop
+    pruning around 10^7 docs.
+
+    Candidates route through the capped grouped expansion (one shuffle;
+    buckets larger than ``bucket_cap`` dropped, which at web scale means
+    exact-duplicate clusters — collapse those with ``exact_dedup`` first,
+    as for MinHash). The simhash rides the expansion as a payload so the
+    hamming check runs inline on pair rows — no re-join of the hash
+    table.
+    """
+    if n_chunks < max_hamming + 2:
+        raise ValueError(
+            f"n_chunks={n_chunks} too small for max_hamming={max_hamming}: "
+            f"2-chunk-combo banding needs n_chunks >= max_hamming + 2"
+        )
+    widths = _chunk_widths(n_chunks)
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk = [
+        F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_chunks)
+    ]
+    combos = [(i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)]
+    toks = hashes.select(
         F.col(id_col),
         F.col("simhash"),
+        # int64 bucket key per combo; collisions only merge buckets
+        # (spurious candidates the hamming filter rejects)
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", "c.ci", "c.cv")
-    l = chunks.alias("l")
-    r = chunks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.cv") == F.col("r.cv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            F.array(*[F.xxhash64(F.lit(ci), chunk[i], chunk[j])
+                      for ci, (i, j) in enumerate(combos)])
+        ).alias("bb"),
+    )
+    pairs, _obs = grouped_pair_expansion(
+        toks, id_col=id_col, tok_col="bb", df_cap=bucket_cap, payload_col="simhash"
+    )
+    # hamming filter BEFORE the distinct: most candidates fail it, so the
+    # dedup shuffle carries only true near-dups
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b"))).alias("hamming"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
-        )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", hamming).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 # ------------------------------------------------- connected keepers

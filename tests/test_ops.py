@@ -83,6 +83,74 @@ def test_grouped_pair_expansion_df_cap(spark):
     assert all_pairs.count() == 45 + 1
 
 
+def test_minhash_lsh_bucket_cap_bounds_dup_cluster(spark):
+    """An exact-duplicate mega-cluster shares ALL bands; with bucket_cap
+    below the cluster size its buckets are dropped (observable) instead
+    of expanding k^2 pairs in one task, while small buckets still pair.
+    (Production contract: exact_dedup collapses such clusters first.)"""
+    cluster = [(d, "the same exact document body repeated verbatim") for d in range(12)]
+    pair = [(100, "a rare and unusual pairing of words here"),
+            (101, "a rare and unusual pairing of words here")]
+    docs = spark.createDataFrame(cluster + pair, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs)
+    pairs, obs = dedup.minhash_lsh_candidates(sigs, bucket_cap=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    assert obs.get["dropped_tokens"] >= dedup.N_BANDS  # every band bucket of the cluster
+    assert obs.get["max_df"] == 12
+    # uncapped: the cluster contributes its full 66 pairs
+    all_pairs, _ = dedup.minhash_lsh_candidates(sigs, bucket_cap=None)
+    assert all_pairs.count() == 66 + 1
+
+
+def test_simhash_combo_banding_pigeonhole(spark):
+    """Adversarial bit placements for hamming<=3: flips spread across 3
+    distinct chunks leave exactly 2 clean chunks, the minimum the 2-chunk
+    combo banding needs. hamming>3 pairs are filtered out."""
+    signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    base = 0x5A5A_1234_ABCD_0F0F
+    cases = {
+        1: base,                                     # hamming 0
+        2: base ^ 1,                                 # 1 flip
+        3: base ^ (1 | (1 << 63)),                   # 2 flips, first+last chunk
+        4: base ^ (1 | (1 << 13) | (1 << 26)),       # 3 flips in 3 distinct chunks
+        5: base ^ (1 | (1 << 13) | (1 << 26) | (1 << 39)),  # hamming 4 -> excluded
+    }
+    hashes = spark.createDataFrame(
+        [(0, base)] + [(k, signed(v)) for k, v in cases.items()],
+        "doc_id long, simhash long",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           dedup.simhash_pairs(hashes, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1 and got[(0, 3)] == 2 and got[(0, 4)] == 3
+    assert (0, 5) not in got
+
+
+def test_simhash_bucket_cap_bounds_dup_cluster(spark):
+    """Identical simhashes (exact dups) fill every combo bucket; the cap
+    drops them while a small near-dup pair elsewhere is still found."""
+    cluster = [(d, 0x1111_2222_3333_4444) for d in range(12)]
+    pair = [(100, -0x7EDC_BA09_8765_4322), (101, -0x7EDC_BA09_8765_4322 ^ 3)]
+    hashes = spark.createDataFrame(cluster + pair, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b) for r in
+           dedup.simhash_pairs(hashes, max_hamming=3, bucket_cap=5).collect()}
+    assert got == {(100, 101)}
+    uncapped = dedup.simhash_pairs(hashes, max_hamming=3, bucket_cap=None)
+    assert uncapped.count() == 66 + 1
+    with pytest.raises(ValueError, match="n_chunks"):
+        dedup.simhash_pairs(hashes, max_hamming=4, n_chunks=5)
+
+
+def test_grouped_pair_expansion_payload(spark):
+    """payload_col rides per-doc values through the expansion in id order."""
+    toks = spark.createDataFrame(
+        [(3, "t", 30), (1, "t", 10), (2, "t", 20)], "doc_id long, tok string, val long"
+    )
+    pairs, _ = dedup.grouped_pair_expansion(toks, df_cap=None, payload_col="val")
+    got = {(r.id_a, r.id_b, r.payload_a, r.payload_b) for r in pairs.collect()}
+    assert got == {(1, 2, 10, 20), (1, 3, 10, 30), (2, 3, 20, 30)}
+
+
 def test_propagate_min_keeper(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
