@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, Window
 def apply_dim_updates(current: DataFrame, updates: DataFrame,
                       key_cols: list[str] | None = None,
                       node_name: str | None = None,
-                      node_col: str = "host") -> DataFrame:
+                      node_col: str = "host",
+                      version_col: str | None = None) -> DataFrame:
     """Merge a batch of watch-MODIFIED rows into a dim snapshot.
 
     - a key present in both: the update row wins (watch update,
@@ -45,6 +46,14 @@ def apply_dim_updates(current: DataFrame, updates: DataFrame,
     - a key only in ``current``: retained — deletions are never applied
       here (:182-186), they age out via io.dim_with_ttl (O25).
 
+    The reference applies notices SEQUENTIALLY, so when one batch holds
+    several notices for a key the latest wins. Set-based application
+    needs an explicit order: pass ``version_col`` (resourceVersion / an
+    update timestamp — both monotone per key in a watch stream) and the
+    highest version wins ties within the batch. Without it, update
+    batches MUST be pre-deduped per key — the winner among same-key
+    update rows is otherwise arbitrary.
+
     Column sets must match (unionByName). Returns the merged snapshot.
     """
     if key_cols is None:
@@ -53,11 +62,11 @@ def apply_dim_updates(current: DataFrame, updates: DataFrame,
     upd = updates.withColumn("_src", F.lit(1))
     both = cur.unionByName(upd)
     w = Window.partitionBy(*key_cols)
+    order = [F.desc("_src")]
+    if version_col is not None:
+        order.append(F.desc(version_col))
     merged = (
-        both.withColumn(
-            "_rn",
-            F.row_number().over(w.orderBy(F.desc("_src"))),
-        )
+        both.withColumn("_rn", F.row_number().over(w.orderBy(*order)))
         .withColumn("_existed", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(w))
     )
     keep = F.col("_rn") == 1
@@ -66,10 +75,29 @@ def apply_dim_updates(current: DataFrame, updates: DataFrame,
     return merged.where(keep).drop("_src", "_rn", "_existed")
 
 
+def _read_updates(spark, path: str):
+    """Read an update batch; None when the batch doesn't exist yet.
+
+    ONLY the path-missing case is treated as "no update batch" — a
+    corrupt batch file, a schema drift, or a permission error must
+    PROPAGATE so enrich_stream's {kind}_watch_failures counter fires
+    (the reference distinguishes exactly these paths: a watch that
+    yields nothing vs a watch that errors, watch_pods.rb:57-111)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def cdc_dims_loader(spark, pods_snapshot_path: str, ns_snapshot_path: str,
                     pods_updates_path: str | None = None,
                     ns_updates_path: str | None = None,
-                    node_name: str | None = None):
+                    node_name: str | None = None,
+                    version_col: str | None = None):
     """dims_loader for streaming.enrich_stream that applies pending
     update batches on top of base snapshots each micro-batch — the
     delta-apply alternative to re-reading the full dim (cheaper when
@@ -80,19 +108,15 @@ def cdc_dims_loader(spark, pods_snapshot_path: str, ns_snapshot_path: str,
         pods = spark.read.parquet(pods_snapshot_path)
         ns = spark.read.parquet(ns_snapshot_path)
         if pods_updates_path:
-            try:
-                pods = apply_dim_updates(
-                    pods, spark.read.parquet(pods_updates_path), node_name=node_name
-                )
-            except Exception:
-                pass  # no update batch yet
+            upd = _read_updates(spark, pods_updates_path)
+            if upd is not None:
+                pods = apply_dim_updates(pods, upd, node_name=node_name,
+                                         version_col=version_col)
         if ns_updates_path:
-            try:
-                ns = apply_dim_updates(
-                    ns, spark.read.parquet(ns_updates_path), key_cols=["namespace_name"]
-                )
-            except Exception:
-                pass
+            upd = _read_updates(spark, ns_updates_path)
+            if upd is not None:
+                ns = apply_dim_updates(ns, upd, key_cols=["namespace_name"],
+                                       version_col=version_col)
         return pods, ns
 
     return load

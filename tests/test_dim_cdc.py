@@ -52,6 +52,60 @@ def test_deletes_never_applied(spark):
     assert apply_dim_updates(cur, upd).count() == 2
 
 
+def test_version_ordering_within_batch(spark):
+    """Several MODIFIED notices for one key in a single batch: the
+    highest version wins (the reference applies notices sequentially,
+    so the latest wins; set-based application orders on version_col)."""
+    cur = spark.createDataFrame(
+        [("ns", "a", "node-1", "10.0.0.1", 1)],
+        "namespace_name string, pod_name string, host string, pod_ip string, version long",
+    )
+    upd = spark.createDataFrame(
+        [("ns", "a", "node-1", "10.2.2.2", 5), ("ns", "a", "node-1", "10.3.3.3", 9),
+         ("ns", "a", "node-1", "10.1.1.1", 3)],
+        "namespace_name string, pod_name string, host string, pod_ip string, version long",
+    )
+    out = apply_dim_updates(cur, upd, version_col="version").collect()
+    assert len(out) == 1 and out[0].pod_ip == "10.3.3.3" and out[0].version == 9
+
+
+def test_cdc_loader_corrupt_updates_raise(spark, tmp_path):
+    """A corrupt update batch must RAISE (-> watch_failures), not
+    silently serve stale dims; only a missing batch means 'no updates
+    yet'. A schema-drifted batch must raise too."""
+    import pytest
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.dim_cdc import cdc_dims_loader
+
+    snap = str(tmp_path / "pods")
+    ns_snap = str(tmp_path / "ns")
+    _dim(spark, [("ns", "a", "node-1", "10.0.0.1")]).write.parquet(snap)
+    spark.createDataFrame([("ns",)], "namespace_name string").write.parquet(ns_snap)
+
+    # missing updates path -> fine, snapshot served
+    load = cdc_dims_loader(spark, snap, ns_snap,
+                           pods_updates_path=str(tmp_path / "never-written"))
+    pods, _ = load()
+    assert pods.count() == 1
+
+    # corrupt updates file -> propagates
+    bad = tmp_path / "bad-updates"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"junk, not parquet")
+    load_bad = cdc_dims_loader(spark, snap, ns_snap, pods_updates_path=str(bad))
+    with pytest.raises(Exception):
+        p, _ = load_bad()
+        p.count()
+
+    # schema drift (missing merge columns) -> propagates at plan time
+    drift = str(tmp_path / "drift-updates")
+    spark.createDataFrame([("x",)], "unrelated string").write.parquet(drift)
+    load_drift = cdc_dims_loader(spark, snap, ns_snap, pods_updates_path=drift)
+    with pytest.raises(Exception):
+        p, _ = load_drift()
+        p.count()
+
+
 def test_cdc_dims_loader_with_enrich_stream(spark, tmp_path):
     """Delta-apply loader end-to-end: a pod update batch written between
     micro-batches changes the dim the stream enriches with, and
