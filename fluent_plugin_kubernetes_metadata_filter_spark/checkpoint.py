@@ -90,10 +90,17 @@ def resumable_fanout_write(df: DataFrame, out_dir: str, manifest: LineageManifes
     Sinks are written in groups via partition-pruned filters over a cached
     enriched frame; each group commit appends lineage records, so a crash
     loses at most one group. (On Iceberg this becomes one REPLACE
-    PARTITIONS commit per group.)
+    PARTITIONS commit per group.) Per-sink row counts ride the write
+    action itself via ``observe`` — ONE pass over each group's data; a
+    second counting action would re-read (and at 100 TB re-spill) every
+    group. Null routes are labeled with the shared ``PASSTHROUGH``
+    constant, matching ``pipeline.run``'s count keys.
     """
+    from fluent_plugin_kubernetes_metadata_filter_spark.route import PASSTHROUGH
+    from pyspark.sql import Observation
+
     done = manifest.completed_sinks(input_snapshot)
-    key = F.coalesce(F.col(route_column), F.lit("__HIVE_DEFAULT_PARTITION__"))
+    key = F.coalesce(F.col(route_column), F.lit(PASSTHROUGH))
     df = df.withColumn("_sink", key)
     sinks = [r[0] for r in df.select("_sink").distinct().collect()]
     todo = [s for s in sorted(sinks) if s not in done]
@@ -104,14 +111,19 @@ def resumable_fanout_write(df: DataFrame, out_dir: str, manifest: LineageManifes
         for i in range(0, len(todo), sink_batch):
             group = todo[i: i + sink_batch]
             t0 = time.time()
-            part = df.where(F.col("_sink").isin(group))
+            obs = Observation()
+            part = df.where(F.col("_sink").isin(group)).observe(
+                obs,
+                *[F.count(F.when(F.col("_sink") == s, 1)).alias(f"c{j}")
+                  for j, s in enumerate(group)],
+            )
             part.drop("_sink").write.mode("overwrite").partitionBy(route_column).option(
                 "partitionOverwriteMode", "dynamic"
             ).parquet(out_dir)
-            counts = dict(part.groupBy("_sink").count().collect())
+            counts = obs.get
             dt = time.time() - t0
-            for s in group:
-                rec = LineageRecord(s, int(counts.get(s, 0)), input_snapshot, round(dt, 3), time.time())
+            for j, s in enumerate(group):
+                rec = LineageRecord(s, int(counts[f"c{j}"]), input_snapshot, round(dt, 3), time.time())
                 manifest.record(rec)
                 written.append(rec)
     finally:

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, Observation, Window
 
 from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
 
+# canonical label for the null-route sink, shared by every public entry
+# point (per_sink_counts, pipeline.run, run_resumable lineage/counts)
+PASSTHROUGH = "__passthrough__"
+
 
 def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Physical-only skew defuse: repartition on (conv_id, salt)."""
@@ -67,7 +71,7 @@ def stable_order(df: DataFrame) -> DataFrame:
 def per_sink_counts(df: DataFrame, route_column: str = "namespace_name") -> DataFrame:
     """O4/O22 routed-count aggregate; null route = passthrough sink."""
     return (
-        df.groupBy(F.coalesce(F.col(route_column), F.lit("__passthrough__")).alias("sink"))
+        df.groupBy(F.coalesce(F.col(route_column), F.lit(PASSTHROUGH)).alias("sink"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 

@@ -61,7 +61,7 @@ def test_partial_resume(spark):
     sinks = [
         r[0]
         for r in df.select(
-            F.coalesce("namespace_name", F.lit("__HIVE_DEFAULT_PARTITION__"))
+            F.coalesce("namespace_name", F.lit("__passthrough__"))
         ).distinct().collect()
     ]
     from fluent_plugin_kubernetes_metadata_filter_spark.checkpoint import LineageRecord
@@ -85,11 +85,10 @@ def test_run_resumable_end_to_end(spark, tmp_path):
     assert r1["counts"] and sum(r1["counts"].values()) > 0
     assert r1["stats"]["events_total"] > 0 and r1["stats"]["pod_enriched"] > 0
     assert len(r1["lineage"]) == len(r1["counts"])
-    # the written output matches the plain run's per-sink counts
+    # the written output matches the plain run's per-sink counts — both
+    # entry points label the null-route sink with the same constant
     plain = {r.sink: r.n_rows for r in pipeline.run(spark, "/root/testdata/sf0.001").collect()}
-    got = {("__passthrough__" if s == "__HIVE_DEFAULT_PARTITION__" else s): n
-           for s, n in r1["counts"].items()}
-    assert got == plain
+    assert r1["counts"] == plain
     # resume: same snapshot -> nothing rewritten
     r2 = pipeline.run_resumable(spark, "/root/testdata/sf0.001", out, man)
     assert r2["lineage"] == [] and r2["input_snapshot"] == r1["input_snapshot"]
