@@ -142,7 +142,12 @@ def make_grok_pandas_udf(expr: str, patterns: dict[str, str] | None = None):
         for f in fields:
             col = ex[gi[f] - 1].astype(object)
             out[f] = col.where(col.notna(), None)
-        out["grok_matched"] = ex[gi[fields[0]] - 1].notna() if fields else s.notna()
+        # matched = the regex itself matched the line (same re.search
+        # semantics as the JVM path's rlike; null line -> null). NOT a
+        # first-field-notna proxy: a field group that participates with
+        # an empty/absent match would mis-report the whole line.
+        m = s.str.contains(named, regex=True).astype(object)
+        out["grok_matched"] = m.where(s.notna(), None)
         return pd.DataFrame(out)
 
     return gk
