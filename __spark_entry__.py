@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q.q_fingerprint,
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,
+        "ann_topk_gemm": q.q_ann_topk_gemm,
+        "ann_topk_ivf": q.q_ann_topk_ivf,
         "minhash_pairs": q.q_minhash_pairs,
         "minhash_jaccard_verified": q.q_minhash_jaccard_verified,
         "simhash": q.q_simhash,

@@ -347,6 +347,11 @@ r AS (
 )
 SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
 
+    # the GEMM and all-probe-IVF engines are EXACT: one brute-force
+    # oracle value-checks all three execution strategies
+    q["ann_topk_gemm"] = q["ann_topk"]
+    q["ann_topk_ivf"] = q["ann_topk"]
+
     q.update(_ops_oracles())
     q.update(_event_oracles())
     q.update(_grok_oracles())

@@ -399,6 +399,52 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rerank_rounded(out: DataFrame) -> DataFrame:
+    """Driver-contract shaping for ANN outputs: round sims to the
+    oracle's fixed-point grid and re-rank within each query on
+    (rounded sim desc, cand_id) — the oracle's exact tie-break. The
+    input is already a per-query top-k (<= 10 rows/query), so this
+    window is O(k) per query."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        out.select("query_id", "cand_id", _fl(F.col("sim"), 4).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def q_ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 via the blocked-GEMM mapInPandas path — the
+    high-throughput exact engine (one numpy GEMM per Arrow batch,
+    broadcast query matrix). Must be value-identical to q_ann_topk /
+    the same DuckDB oracle."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import (
+        brute_force_topk_gemm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    c = emb.where("vec_id >= 5")
+    out = brute_force_topk_gemm(q, c, k=10)
+    return _rerank_rounded(out)
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_centroids: probing every inverted list
+    makes the clustered path EXACT, so the brute-force oracle checks the
+    whole coarse-quantize -> probe -> re-rank machinery end-to-end. The
+    scale configuration (nprobe << n_centroids) trades that recall for
+    a 1/n_centroids candidate fan-in; recall vs exact is tested in
+    tests/test_ops.py."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    c = emb.where("vec_id >= 5")
+    out = ivf_topk(q, c, dim=64, k=10, n_centroids=16, nprobe=16)
+    return _rerank_rounded(out)
+
+
 # ------------------------------- ops queries (LSH/minhash: rows-only —
 # xxhash64-based hashing has no DuckDB equivalent, so the driver records
 # the weaker rows-only check; the *verified* outputs are exact-tested in
