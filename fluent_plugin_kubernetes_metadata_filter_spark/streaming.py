@@ -66,10 +66,15 @@ class WatchStats:
       first-load row / new key   -> {kind}_cache_host_updates
                                     (initial get_pods list, :140)
       same key, changed content  -> {kind}_cache_watch_updates (:176)
-      key gone from snapshot     -> {kind}_cache_watch_delete_ignored
-                                    (:187 — DELETE notices are counted,
-                                    enrichment keeps serving until TTL)
+      key gone from snapshot     -> {kind}_cache_rows_removed
       dims_loader raised         -> {kind}_watch_failures
+
+    Naming note: with a SNAPSHOT dims_loader a key that disappears stops
+    enriching immediately — the removal HAS taken effect, so the counter
+    says so. The reference's ignore-DELETED-until-TTL semantics
+    (watch_pods.rb:182-186) are preserved only by the delta-apply path
+    (dim_cdc.apply_dim_updates never applies deletes; io.dim_with_ttl
+    ages rows out), where this counter stays 0 by construction.
 
     Snapshot fingerprints are one md5 per dim row — dims are
     broadcast-small by design (enrich.py scale notes), so the collect is
@@ -100,7 +105,7 @@ class WatchStats:
                       sum(1 for k in cur if k not in prev))
             self.bump(f"{kind}_cache_watch_updates",
                       sum(1 for k, h in cur.items() if k in prev and prev[k] != h))
-            self.bump(f"{kind}_cache_watch_delete_ignored",
+            self.bump(f"{kind}_cache_rows_removed",
                       sum(1 for k in prev if k not in cur))
         self._prev[kind] = cur
 

@@ -82,7 +82,8 @@ def test_dim_refresh_between_batches(spark):
 def test_watch_stats_counters(spark, tmp_path):
     """Watch-path counters (watch_pods.rb vocabulary): initial load bumps
     host_updates; a row modified between batches bumps watch_updates; a
-    row dropped from the snapshot bumps watch_delete_ignored."""
+    row dropped from the snapshot bumps cache_rows_removed (the
+    removal takes effect with a snapshot loader)."""
     base = aux_dir(SF)
     # two micro-batches: split the transcripts into two files
     src = spark.read.parquet(f"{base}/transcripts.parquet").limit(200)
@@ -119,7 +120,7 @@ def test_watch_stats_counters(spark, tmp_path):
     c = stats.counters
     assert c["pod_cache_host_updates"] == n_pods  # initial list load
     assert c["pod_cache_watch_updates"] >= 1      # MODIFIED analogue
-    assert c["pod_cache_watch_delete_ignored"] >= 1
+    assert c["pod_cache_rows_removed"] >= 1
     assert c["namespace_cache_host_updates"] == ns0.count()
     assert "namespace_cache_watch_updates" not in c  # ns dim unchanged
 
