@@ -46,12 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "dedup_keepers": q.q_dedup_keepers,
         "ann_topk": q.q_ann_topk,
         "ann_topk_gemm": q.q_ann_topk_gemm,
         "ann_topk_ivf": q.q_ann_topk_ivf,
         "minhash_pairs": q.q_minhash_pairs,
         "minhash_jaccard_verified": q.q_minhash_jaccard_verified,
         "simhash": q.q_simhash,
+        "simhash_pairs": q.q_simhash_pairs,
         "neardup_brute": q.q_neardup_brute,
         "lsh_neardup": q.q_lsh_neardup,
         "quality_full": q.q_quality_full,

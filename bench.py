@@ -61,7 +61,11 @@ def bench(spark, sf_dir):
     timed("per_conv_stats", lambda: q.q_per_conv_stats(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("dedup_exact", lambda: q.q_dedup_exact(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect())
+    timed("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect())
+    timed("simhash", lambda: q.q_simhash(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    timed("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect())
     timed("ann_topk", lambda: q.q_ann_topk(spark, sf_dir).collect())
+    timed("ann_topk_gemm", lambda: q.q_ann_topk_gemm(spark, sf_dir).collect())
 
     return n_turns, timings
 

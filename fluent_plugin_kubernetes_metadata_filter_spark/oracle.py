@@ -328,6 +328,46 @@ jac AS (
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.55"""
 
+    # connected-component keepers over the ngram_jaccard pair graph:
+    # recursive-CTE transitive closure, keeper = min reachable id — the
+    # set-based ground truth for the iterative Spark label propagation
+    q["dedup_keepers"] = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.55
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM jac WHERE jaccard >= 0.55
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS keep_id,
+       CAST(least(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) <> d.doc_id AS BOOLEAN) AS is_dup
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id"""
+
     q["ann_topk"] = """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -369,6 +369,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= 0.55).select("id_a", "id_b", "jaccard")
 
 
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup KEEPER assignment: n-gram Jaccard pairs
+    (threshold 0.55) -> connected components -> keeper = component min
+    (iterative min-label propagation, ops/dedup.propagate_min_keeper).
+    Value-checked against a DuckDB recursive-CTE transitive closure —
+    the set-based ground truth for the iterative Spark algorithm."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        propagate_min_keeper,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    keep = propagate_min_keeper(pairs, docs.select("doc_id"))
+    return keep.select(
+        "doc_id", "keep_id", (F.col("doc_id") != F.col("keep_id")).alias("is_dup")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5) over the
     embeddings table — the exact baseline an IVF/LSH path approximates.
@@ -479,6 +497,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.simhash64(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via 2-chunk combo banding
+    and the capped grouped expansion (deterministic; rows-only check —
+    xxhash64 banding has no DuckDB equivalent)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_pairs(dd.simhash64(docs))
 
 
 def q_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
