@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_full": q.q_quality_full,
         "langid_profiles": q.q_langid_profiles,
         "token_bpe": q.q_token_bpe,
+        "pricing_summary": q.q_pricing_summary,
+        "order_revenue": q.q_order_revenue,
         "events_json": q.q_events_json,
         "events_window": q.q_events_window,
         "events_sessionize": q.q_events_sessionize,

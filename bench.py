@@ -66,6 +66,10 @@ def bench(spark, sf_dir):
     timed("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect())
     timed("ann_topk", lambda: q.q_ann_topk(spark, sf_dir).collect())
     timed("ann_topk_gemm", lambda: q.q_ann_topk_gemm(spark, sf_dir).collect())
+    # shuffle-join scaling probes over the TPC-H relations (not
+    # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
+    timed("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect())
+    timed("order_revenue", lambda: q.q_order_revenue(spark, sf_dir).write.format("noop").mode("overwrite").save())
 
     return n_turns, timings
 

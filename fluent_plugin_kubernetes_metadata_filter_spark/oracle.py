@@ -500,6 +500,27 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
        floor(SUM(value) * 10000) / 10000 AS sum_value
 FROM events GROUP BY 1, 2"""
 
+    q["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-03'
+GROUP BY 1, 2"""
+
+    q["order_revenue"] = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate >= TIMESTAMP '1998-06-02'
+GROUP BY 1, 2"""
+
     q["events_sessionize"] = """
 WITH g AS (
   SELECT user_id, ts, event_id,

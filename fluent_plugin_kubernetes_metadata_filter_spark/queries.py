@@ -631,6 +631,59 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- large-join scaling probes
+# The reference implements no general join/aggregate surface
+# (SURVEY.md:149-157) — these run over the driver's TPC-H relations as
+# NON-broadcast-flattered scaling probes: a scan-bound partial-agg job
+# and a 3-table join whose big sides exceed any broadcast threshold at
+# sf>=1, so the physical plan is a genuine shuffle (sort-merge) join.
+# All money math is per-row-double -> DECIMAL before SUM: decimal sums
+# are exact and associative, so results are bit-stable regardless of
+# partial-aggregation order on either engine.
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 flavor): scan-bound groupBy with
+    map-side partial aggregation; the filter and the 6-column projection
+    must reach the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # raw-column timestamp compare (date <= 1998-09-02 == ts < 09-03):
+    # a cast on the column would block parquet predicate pushdown
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority revenue (TPC-H Q3 flavor): customer |x| orders
+    |x| lineitem. The customer side broadcasts (small dim); orders |x|
+    lineitem is large-large — the shuffle-join scaling probe."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # raw-column compares keep both date predicates pushdown-eligible:
+    # orderdate < 1998-06-01 == ts < midnight; shipdate > 1998-06-01
+    # (as a date) == ts >= 1998-06-02 midnight
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.lit("1998-06-02").cast("timestamp_ntz"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
 # --------------------------------------------------------------- grok
 
 def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:

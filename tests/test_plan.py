@@ -101,3 +101,20 @@ def test_single_exchange_mode_content_parity(spark, tmp_path):
     ra = spark.read.parquet(str(tmp_path / "a")).select("conv_id", "turn_seq", "text")
     rb = spark.read.parquet(str(tmp_path / "b")).select("conv_id", "turn_seq", "text")
     assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
+
+
+def test_tpch_probes_push_filters_and_prune(spark):
+    """The scaling probes must reach the scan with their predicates and
+    projections: a scan reading all columns for a 6-column aggregate is
+    wrong at any scale."""
+    plan = _plan(q.q_pricing_summary(spark, "/root/testdata/sf0.01"))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "l_shipdate" in scan and "PushedFilters: [IsNotNull(l_shipdate)" in scan
+    assert "l_partkey" not in scan  # unused columns pruned from the scan
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+
+    plan2 = _plan(q.q_order_revenue(spark, "/root/testdata/sf0.01"))
+    scans = [l for l in plan2.splitlines() if "FileScan" in l]
+    assert len(scans) == 3
+    for s in scans:
+        assert "PushedFilters: [" in s and "IsNotNull" in s
