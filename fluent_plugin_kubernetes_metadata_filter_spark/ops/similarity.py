@@ -129,35 +129,52 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
 
 def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> DataFrame:
+                      n_planes: int = 16, n_bands: int = 4, seed: int = 42,
+                      bucket_cap: int | None = 512) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold)
-    via LSH bucketing + exact verification."""
+    via LSH bucketing + exact verification.
+
+    Candidates route through the capped grouped expansion (shared with
+    the text-dedup stack): one shuffle keyed by an int64 band-bucket
+    hash, the vector riding as the payload so the cosine verifies
+    inline on pair rows — the old self-join shuffled full dim-sized
+    vectors twice and had no bound on a bucket's k^2 expansion. Buckets
+    above ``bucket_cap`` are dropped (at web scale those are exact-copy
+    embedding clusters — collapse them with an exact pre-pass on a
+    vector hash first, as with text exact_dedup)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        grouped_pair_expansion,
+    )
+
     bits = n_planes // n_bands
-    s = signature_bits(df, dim, n_planes, seed, vec_col).select(
+    mask = (1 << bits) - 1
+    sig = signature_bits(df, dim, n_planes, seed, vec_col)
+    toks = sig.select(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("v"),
-        F.explode(_bands(F.col("lsh_sig"), n_bands, bits)).alias("b"),
-    ).select("vid", "v", "b.band", "b.bv")
-    a = s.alias("a")
-    b = s.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        F.explode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit(i),
+                    F.shiftright(F.col("lsh_sig"), i * bits).bitwiseAND(F.lit(mask)),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
     )
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return pairs.withColumn("sim", sim).where(F.col("sim") >= threshold).select(
-        "id_a", "id_b", "sim"
+    pairs, _obs = grouped_pair_expansion(
+        toks, id_col="vid", tok_col="bb", df_cap=bucket_cap, payload_col="v"
+    )
+    sim = _dot(F.col("payload_a"), F.col("payload_b")) / (
+        _norm(F.col("payload_a")) * _norm(F.col("payload_b"))
+    )
+    # verify inline, filter, THEN dedup: the dedup shuffle carries only
+    # true near-dups instead of every band-duplicated candidate
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

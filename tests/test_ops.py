@@ -252,6 +252,34 @@ def test_embedding_neardup_finds_planted(spark, emb):
     assert (7, 9001) in got and (7, 9002) in got and (9001, 9002) in got
 
 
+def test_embedding_neardup_bucket_cap_bounds_dup_cluster(spark, emb):
+    """A cluster of identical embeddings shares every LSH band bucket;
+    with bucket_cap below the cluster size its buckets drop instead of
+    expanding k^2 vector pairs, while a small planted pair elsewhere is
+    still found."""
+    import pyspark.sql.functions as F
+
+    base = emb.where("vec_id = 3").select("embedding", "label")
+    cluster = base.crossJoin(
+        spark.range(9100, 9112).select(F.col("id").alias("vec_id"))
+    ).select("vec_id", "embedding", "label")
+    pair = emb.where("vec_id = 40").select(
+        F.lit(9200).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = cluster.union(pair).union(
+        emb.where("vec_id = 40").select(
+            F.lit(9201).cast("long").alias("vec_id"), "embedding", "label"
+        )
+    )
+    got = {(p.id_a, p.id_b) for p in
+           similarity.embedding_neardup(df, dim=64, threshold=0.999,
+                                        bucket_cap=5).collect()}
+    assert got == {(9200, 9201)}
+    uncapped = similarity.embedding_neardup(df, dim=64, threshold=0.999,
+                                            bucket_cap=None)
+    assert uncapped.count() == 66 + 1  # C(12,2) cluster pairs + the pair
+
+
 # ------------------------------------------------------------ text ops
 
 def test_token_counts(spark):
