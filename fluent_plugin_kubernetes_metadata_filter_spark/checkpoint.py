@@ -100,6 +100,12 @@ def resumable_fanout_write(df: DataFrame, out_dir: str, manifest: LineageManifes
     from pyspark.sql import Observation
 
     done = manifest.completed_sinks(input_snapshot)
+    # manifests written before the passthrough-label unification record
+    # the null-route sink under parquet's partition placeholder; treat
+    # those as the same sink or resume would rewrite (and double-record)
+    # an already-committed partition
+    if "__HIVE_DEFAULT_PARTITION__" in done:
+        done = set(done) | {PASSTHROUGH}
     key = F.coalesce(F.col(route_column), F.lit(PASSTHROUGH))
     df = df.withColumn("_sink", key)
     sinks = [r[0] for r in df.select("_sink").distinct().collect()]

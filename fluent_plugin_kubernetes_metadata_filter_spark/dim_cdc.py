@@ -50,9 +50,11 @@ def apply_dim_updates(current: DataFrame, updates: DataFrame,
     several notices for a key the latest wins. Set-based application
     needs an explicit order: pass ``version_col`` (resourceVersion / an
     update timestamp — both monotone per key in a watch stream) and the
-    highest version wins ties within the batch. Without it, update
-    batches MUST be pre-deduped per key — the winner among same-key
-    update rows is otherwise arbitrary.
+    highest version wins — ACROSS the snapshot and the batch, so a
+    stale update replayed after a snapshot refresh cannot regress the
+    dim; at equal version the update row wins (it is the later notice).
+    Without ``version_col``, update batches MUST be pre-deduped per
+    key — the winner among same-key update rows is otherwise arbitrary.
 
     Column sets must match (unionByName). Returns the merged snapshot.
     """
@@ -62,9 +64,10 @@ def apply_dim_updates(current: DataFrame, updates: DataFrame,
     upd = updates.withColumn("_src", F.lit(1))
     both = cur.unionByName(upd)
     w = Window.partitionBy(*key_cols)
-    order = [F.desc("_src")]
-    if version_col is not None:
-        order.append(F.desc(version_col))
+    # version (when present) ranks FIRST: a fresher snapshot row must
+    # beat a stale replayed update; _src breaks equal-version ties in
+    # the update's favor
+    order = [F.desc("_src")] if version_col is None else [F.desc(version_col), F.desc("_src")]
     merged = (
         both.withColumn("_rn", F.row_number().over(w.orderBy(*order)))
         .withColumn("_existed", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(w))

@@ -128,7 +128,13 @@ def make_grok_pandas_udf(expr: str, patterns: dict[str, str] | None = None):
 
     regex, gi = compile_grok(expr, patterns)
     fields = list(gi)
-    named = re.compile(regex)  # python re; extract by group number
+    # ONE regex pass per batch: wrap the (all-anonymous-group) pattern
+    # in an outer group, so extract's column 0 is the full match — a
+    # notna there IS "the regex matched" (an empty match extracts "",
+    # still notna), and every field group shifts by exactly +1. A
+    # separate str.contains would run the engine a second time over
+    # every line of every batch — grok is the parse hot path.
+    outer = re.compile(f"({regex})")
     schema = T.StructType(
         [T.StructField(f, T.StringType()) for f in fields]
         + [T.StructField("grok_matched", T.BooleanType())]
@@ -137,16 +143,16 @@ def make_grok_pandas_udf(expr: str, patterns: dict[str, str] | None = None):
     @F.pandas_udf(schema)
     def gk(s: pd.Series) -> pd.DataFrame:
         s = s.astype("string")
-        ex = s.str.extract(named)  # columns indexed 0..n_groups-1
+        ex = s.str.extract(outer)  # col 0 = full match; groups shifted +1
         out = {}
         for f in fields:
-            col = ex[gi[f] - 1].astype(object)
+            col = ex[gi[f]].astype(object)
             out[f] = col.where(col.notna(), None)
         # matched = the regex itself matched the line (same re.search
         # semantics as the JVM path's rlike; null line -> null). NOT a
         # first-field-notna proxy: a field group that participates with
         # an empty/absent match would mis-report the whole line.
-        m = s.str.contains(named, regex=True).astype(object)
+        m = ex[0].notna().astype(object)
         out["grok_matched"] = m.where(s.notna(), None)
         return pd.DataFrame(out)
 

@@ -130,18 +130,27 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
 def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 16, n_bands: int = 4, seed: int = 42,
-                      bucket_cap: int | None = 512) -> DataFrame:
+                      bucket_cap: int | None = None):
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold)
-    via LSH bucketing + exact verification.
+    via LSH bucketing + exact verification. Returns ``(pairs, obs)``
+    where ``obs`` is the drop Observation when ``bucket_cap`` is set
+    (``dropped_tokens``/``max_df`` after an action), else None.
 
-    Candidates route through the capped grouped expansion (shared with
-    the text-dedup stack): one shuffle keyed by an int64 band-bucket
-    hash, the vector riding as the payload so the cosine verifies
-    inline on pair rows — the old self-join shuffled full dim-sized
-    vectors twice and had no bound on a bucket's k^2 expansion. Buckets
-    above ``bucket_cap`` are dropped (at web scale those are exact-copy
-    embedding clusters — collapse them with an exact pre-pass on a
-    vector hash first, as with text exact_dedup)."""
+    Candidates route through the grouped expansion (shared with the
+    text-dedup stack): one shuffle keyed by an int64 band-bucket hash,
+    the vector riding as the payload so the cosine verifies inline on
+    pair rows — a self-join would shuffle full dim-sized vectors twice.
+
+    ``bucket_cap`` is OPT-IN here, unlike the MinHash/SimHash paths:
+    dropping an over-cap bucket is only sound when the band key is
+    fine-grained enough (cardinality 2**(n_planes/n_bands) >>
+    corpus_size / cap) that over-occupancy means an exact-duplicate
+    cluster rather than ordinary neighbors. Recall-oriented configs use
+    COARSE bands (few bits, e.g. the default 4), whose big buckets
+    carry real signal — a cap there silently loses true pairs. At web
+    scale: collapse exact-copy embeddings first (exact_dedup on a
+    vector hash), use >=16 bits per band, and THEN set the cap; the
+    returned Observation makes any residual drops visible."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
         grouped_pair_expansion,
     )
@@ -162,7 +171,7 @@ def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
             ])
         ).alias("bb"),
     )
-    pairs, _obs = grouped_pair_expansion(
+    pairs, obs = grouped_pair_expansion(
         toks, id_col="vid", tok_col="bb", df_cap=bucket_cap, payload_col="v"
     )
     sim = _dot(F.col("payload_a"), F.col("payload_b")) / (
@@ -170,12 +179,13 @@ def embedding_neardup(df: DataFrame, dim: int, threshold: float = 0.95,
     )
     # verify inline, filter, THEN dedup: the dedup shuffle carries only
     # true near-dups instead of every band-duplicated candidate
-    return (
+    out = (
         pairs.withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return out, obs
 
 
 # --------------------------------------------------------------- IVF

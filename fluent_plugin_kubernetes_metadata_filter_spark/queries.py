@@ -417,16 +417,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rerank_rounded(out: DataFrame) -> DataFrame:
+def _rerank_rounded(out: DataFrame, k: int = 10) -> DataFrame:
     """Driver-contract shaping for ANN outputs: round sims to the
     oracle's fixed-point grid and re-rank within each query on
-    (rounded sim desc, cand_id) — the oracle's exact tie-break. The
-    input is already a per-query top-k (<= 10 rows/query), so this
-    window is O(k) per query."""
+    (rounded sim desc, cand_id) — the oracle's exact tie-break — then
+    keep rank <= k. Callers OVERFETCH from the engine (2k): the engine
+    ranks on unrounded sims, so candidates in the same 1e-4 floor bin
+    straddling the engine's rank-k boundary could otherwise be kept or
+    dropped differently than the oracle's rounded ordering; with 2k
+    fetched, a divergence needs >k candidates inside one boundary bin.
+    The input is O(k) rows/query, so this window is cheap."""
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
         out.select("query_id", "cand_id", _fl(F.col("sim"), 4).alias("sim"))
         .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "sim", "rank")
     )
 
@@ -443,8 +448,8 @@ def q_ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where("vec_id < 5")
     c = emb.where("vec_id >= 5")
-    out = brute_force_topk_gemm(q, c, k=10)
-    return _rerank_rounded(out)
+    out = brute_force_topk_gemm(q, c, k=20)  # overfetch 2k: see _rerank_rounded
+    return _rerank_rounded(out, k=10)
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,8 +464,8 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where("vec_id < 5")
     c = emb.where("vec_id >= 5")
-    out = ivf_topk(q, c, dim=64, k=10, n_centroids=16, nprobe=16)
-    return _rerank_rounded(out)
+    out = ivf_topk(q, c, dim=64, k=20, n_centroids=16, nprobe=16)  # overfetch 2k
+    return _rerank_rounded(out, k=10)
 
 
 # ------------------------------- ops queries (LSH/minhash: rows-only —
@@ -535,7 +540,10 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import embedding_neardup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_neardup(emb, dim=64, threshold=0.2, n_planes=16, n_bands=8)
+    # n_bands=8 -> 2-bit band keys, chosen for recall at the loose 0.2
+    # threshold; coarse keys make big buckets SIGNAL, so no bucket_cap
+    # (see embedding_neardup's docstring for when a cap is sound)
+    pairs, _ = embedding_neardup(emb, dim=64, threshold=0.2, n_planes=16, n_bands=8)
     return pairs.select("id_a", "id_b", _fl(F.col("sim"), 4).alias("sim"))
 
 

@@ -69,6 +69,26 @@ def test_version_ordering_within_batch(spark):
     assert len(out) == 1 and out[0].pod_ip == "10.3.3.3" and out[0].version == 9
 
 
+def test_version_ordering_snapshot_beats_stale_replay(spark):
+    """A snapshot refreshed at a HIGHER version must not be regressed by
+    a stale update batch replayed afterwards (the batch stays on the
+    updates path until rotation, so it re-applies every micro-batch):
+    version ranks before source. At EQUAL version the update wins — it
+    is the later notice."""
+    cur = spark.createDataFrame(
+        [("ns", "a", "node-1", "10.9.9.9", 100), ("ns", "b", "node-1", "10.0.0.5", 50)],
+        "namespace_name string, pod_name string, host string, pod_ip string, version long",
+    )
+    upd = spark.createDataFrame(
+        [("ns", "a", "node-1", "10.0.0.1", 50),   # stale replay: loses
+         ("ns", "b", "node-1", "10.7.7.7", 50)],  # equal version: update wins
+        "namespace_name string, pod_name string, host string, pod_ip string, version long",
+    )
+    out = {r.pod_name: r for r in apply_dim_updates(cur, upd, version_col="version").collect()}
+    assert out["a"].pod_ip == "10.9.9.9" and out["a"].version == 100
+    assert out["b"].pod_ip == "10.7.7.7"
+
+
 def test_cdc_loader_corrupt_updates_raise(spark, tmp_path):
     """A corrupt update batch must RAISE (-> watch_failures), not
     silently serve stale dims; only a missing batch means 'no updates

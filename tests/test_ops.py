@@ -203,6 +203,30 @@ def test_propagate_min_keeper_bounded_plan(spark):
     assert plan.count("Join") == 0, plan  # lineage truncated to a checkpoint scan
 
 
+def test_propagate_min_keeper_long_chain_pointer_jumping(spark):
+    """A 100-hop edit chain (diameter 99 from the min) must converge
+    within the default 20 rounds: pointer jumping halves path lengths
+    per round (one-hop-only propagation would need 99 rounds and now
+    raises instead of silently returning intermediate labels)."""
+    n = 100
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    keep = {r.doc_id: r.keep_id for r in dedup.propagate_min_keeper(pairs, ids).collect()}
+    assert keep == {i: 0 for i in range(n)}
+
+
+def test_propagate_min_keeper_nonconvergence_raises(spark):
+    """Hitting max_iter without convergence must raise — intermediate
+    labels look valid but are not component minima."""
+    import pytest as _pytest
+
+    n = 60
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.propagate_min_keeper(pairs, ids, max_iter=2).collect()
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
@@ -247,7 +271,7 @@ def test_embedding_neardup_finds_planted(spark, emb):
         "label",
     )
     df = emb.union(v7).union(scaled)
-    pairs = similarity.embedding_neardup(df, dim=64, threshold=0.999)
+    pairs, _ = similarity.embedding_neardup(df, dim=64, threshold=0.999)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
     assert (7, 9001) in got and (7, 9002) in got and (9001, 9002) in got
 
@@ -271,12 +295,14 @@ def test_embedding_neardup_bucket_cap_bounds_dup_cluster(spark, emb):
             F.lit(9201).cast("long").alias("vec_id"), "embedding", "label"
         )
     )
-    got = {(p.id_a, p.id_b) for p in
-           similarity.embedding_neardup(df, dim=64, threshold=0.999,
-                                        bucket_cap=5).collect()}
+    capped, obs = similarity.embedding_neardup(df, dim=64, threshold=0.999,
+                                               bucket_cap=5)
+    got = {(p.id_a, p.id_b) for p in capped.collect()}
     assert got == {(9200, 9201)}
-    uncapped = similarity.embedding_neardup(df, dim=64, threshold=0.999,
-                                            bucket_cap=None)
+    # the loss is observable, never silent
+    assert obs.get["dropped_tokens"] > 0 and obs.get["max_df"] >= 12
+    uncapped, no_obs = similarity.embedding_neardup(df, dim=64, threshold=0.999)
+    assert no_obs is None  # default: no cap (coarse recall-oriented bands)
     assert uncapped.count() == 66 + 1  # C(12,2) cluster pairs + the pair
 
 
