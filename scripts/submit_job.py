@@ -25,7 +25,10 @@ import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")  # sandbox convenience; --py-files on a cluster
+try:  # on a cluster the package arrives via --py-files engine.zip
+    import fluent_plugin_kubernetes_metadata_filter_spark  # noqa: F401
+except ImportError:  # sandbox convenience: run straight from the repo
+    sys.path.insert(0, "/root/repo")
 
 
 def main(argv=None):
@@ -81,7 +84,15 @@ def main(argv=None):
     else:
         counts = {r.sink: r.n_rows for r in per_sink_counts(df).collect()}
 
-    print(json.dumps({"sinks": counts, "wall_sec": round(time.time() - t0, 2)}))
+    import fluent_plugin_kubernetes_metadata_filter_spark as pkg
+
+    # package_origin shows WHERE the code loaded from — on a cluster run
+    # it must point into the --py-files zip, proving the ship path works
+    print(json.dumps({
+        "sinks": counts,
+        "wall_sec": round(time.time() - t0, 2),
+        "package_origin": pkg.__file__,
+    }))
 
 
 if __name__ == "__main__":
