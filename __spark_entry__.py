@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q.q_simhash_pairs,
         "neardup_brute": q.q_neardup_brute,
         "lsh_neardup": q.q_lsh_neardup,
+        "media_features": q.q_media_features,
+        "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,
         "langid_profiles": q.q_langid_profiles,
         "token_bpe": q.q_token_bpe,

@@ -62,6 +62,25 @@ def fake_decoder(payload: pd.Series) -> pd.Series:
     return payload.map(feat)
 
 
+def bp_feature_decoder(payload: pd.Series) -> pd.Series:
+    """Exact-arithmetic variant of ``fake_decoder`` for cross-engine
+    value checks: feature[j] = chunk_sum * 10000 // (chunk_len * 255)
+    (integer basis points of the chunk byte mean, stored as floats —
+    integers <= 10000 are exactly representable in float32, so there is
+    no float32-vs-float64 rounding-grid hazard when an independent
+    engine recomputes the same feature in integer SQL)."""
+    def feat(b: bytes) -> list[float]:
+        if b is None or len(b) == 0:
+            return [0.0] * 8
+        a = np.frombuffer(b, dtype=np.uint8)
+        return [
+            float(int(c.sum()) * 10000 // (len(c) * 255)) if len(c) else 0.0
+            for c in np.array_split(a, 8)
+        ]
+
+    return payload.map(feat)
+
+
 def unavailable_decoder(payload: pd.Series) -> pd.Series:
     raise NotImplementedError(
         "media decoding requires an image/audio library not present in "

@@ -484,6 +484,43 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents"""
 
+    # media_features: recompute the mapInPandas feature extraction in
+    # pure integer SQL from the SAME bytes (documents text is verified
+    # ASCII, so ord(char) == utf-8 byte). Chunking replicates
+    # np.array_split(a, 8): chunk j has size n//8 (+1 for j < n%8),
+    # start j*(n//8) + min(j, n%8); feature = basis points of the chunk
+    # byte mean via exact integer floor-division — no float grid hazard.
+    def _fj(j: int) -> str:
+        size = f"(n // 8 + CASE WHEN {j} < n % 8 THEN 1 ELSE 0 END)"
+        start = f"((n // 8) * {j} + least({j}, n % 8))"
+        return (
+            f"CAST(CASE WHEN {size} = 0 THEN 0 ELSE "
+            f"list_sum(bs[{start} + 1 : {start} + {size}]) * 10000 // ({size} * 255) "
+            f"END AS BIGINT) AS f{j}"
+        )
+
+    feats = ",\n       ".join(_fj(j) for j in range(8))
+    q["media_features"] = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_hash,
+         list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS bs,
+         length(text) AS n
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, payload_hash,
+       {feats}
+FROM base"""
+
+    # media_frames: kind == 'video' <=> doc_id % 3 == 2; duration
+    # (doc_id % 10 + 1) seconds -> one frame per 1000 ms from 0
+    q["media_frames"] = """
+SELECT doc_id AS media_id, CAST(t.f * 1000 AS BIGINT) AS frame_ts_ms
+FROM documents, unnest(generate_series(0, CAST(doc_id % 10 AS INT))) AS t(f)
+WHERE doc_id % 3 = 2"""
+
     return q
 
 

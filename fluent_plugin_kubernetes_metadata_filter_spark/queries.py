@@ -547,6 +547,56 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _fl(F.col("sim"), 4).alias("sim"))
 
 
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the driver's documents
+    table: payload = UTF-8 bytes of the text (a real opaque binary
+    column), kind cycles image/audio/video by doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("doc_id") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction, driver-gated end-to-end: binary
+    payload column -> Arrow-batched mapInPandas (ops/multimodal.
+    extract_features) with the deterministic basis-point decoder ->
+    narrow feature rows (payload dropped in the UDF). The oracle
+    recomputes n_bytes/md5/chunk-mean basis points from the same bytes
+    in pure integer SQL, so the whole mapInPandas plumbing — schema,
+    batch shape, null handling — is value-checked, with only the
+    physical decode library (PIL/ffmpeg) stubbed."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.multimodal import (
+        bp_feature_decoder,
+        extract_features,
+    )
+
+    media = _media_from_documents(spark, sf_dir).select("media_id", "kind", "payload")
+    feats = extract_features(media, decoder=bp_feature_decoder)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "payload_hash",
+        *[F.col("feature")[i].cast("bigint").alias(f"f{i}") for i in range(8)],
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (ops/multimodal.frame_sample_plan):
+    expands (media_id, duration_ms) into frame timestamps JVM-side
+    without touching the payload column — the pruning-friendly half of
+    the video pipeline, oracle-checked row-for-row."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = _media_from_documents(spark, sf_dir).select("media_id", "kind", "duration_ms")
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
 def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score + component ratios (rows-only; component
     ratios are oracle-checked separately in q_quality)."""

@@ -361,6 +361,25 @@ def test_multimodal_feature_extraction(spark):
     }
 
 
+def test_bp_feature_decoder_exact_known_bytes(spark):
+    """The basis-point decoder's chunking must replicate np.array_split
+    and its arithmetic must be exact integer floor division — this is
+    what lets an independent engine recompute the feature bit-for-bit."""
+    import pandas as pd
+
+    # 10 bytes -> np.array_split sizes [2,2,1,1,1,1,1,1]
+    b = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])
+    (feat,) = multimodal.bp_feature_decoder(pd.Series([b]))
+    assert feat[0] == float((10 + 20) * 10000 // (2 * 255))
+    assert feat[2] == float(50 * 10000 // 255)
+    assert feat[7] == float(100 * 10000 // 255)
+    (empty,) = multimodal.bp_feature_decoder(pd.Series([b""]))
+    assert empty == [0.0] * 8
+    # 3 bytes -> 5 trailing chunks empty -> 0.0
+    (short,) = multimodal.bp_feature_decoder(pd.Series([bytes([255, 255, 255])]))
+    assert short[:3] == [10000.0] * 3 and short[3:] == [0.0] * 5
+
+
 def test_multimodal_stub_raises_without_decoder(spark):
     media = multimodal.synthetic_media(spark, n=3)
     with pytest.raises(Exception):
