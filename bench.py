@@ -61,6 +61,8 @@ def bench(spark, sf_dir):
     timed("per_conv_stats", lambda: q.q_per_conv_stats(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("dedup_exact", lambda: q.q_dedup_exact(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect())
+    timed("dedup_keepers", lambda: q.q_dedup_keepers(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    timed("media_features", lambda: q.q_media_features(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect())
     timed("simhash", lambda: q.q_simhash(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect())

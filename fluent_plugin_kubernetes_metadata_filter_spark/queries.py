@@ -575,7 +575,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    media = _media_from_documents(spark, sf_dir).select("media_id", "kind", "payload")
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
+
+    # decode is ~100x work per input byte: spread small scans across
+    # cores (no-op at scale, where the table carries thousands of splits)
+    media = _spread(
+        _media_from_documents(spark, sf_dir).select("media_id", "kind", "payload"),
+        "media_id",
+    )
     feats = extract_features(media, decoder=bp_feature_decoder)
     return feats.select(
         "media_id", "kind", "n_bytes", "payload_hash",
