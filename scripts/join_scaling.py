@@ -1,0 +1,148 @@
+"""Shuffle-join scaling probe: the N-vs-4N-core criterion on a job no
+broadcast can flatter.
+
+The enrich+route scaling evidence (bench_scaling.py) is a window + two
+broadcast joins — its only exchange is the conv_id window shuffle. A
+skeptic can ask how the engine scales when the JOIN ITSELF must shuffle
+both sides. This probe answers with the order_revenue query (TPC-H Q3
+flavor: customer broadcast, orders |x| lineitem large-large) over a
+deterministic 32x blow-up of the driver's sf0.1 relations: 19.2M
+lineitem x 4.8M orders — far past any broadcast threshold, so the
+physical plan is a genuine two-sided shuffle join (asserted from the
+executed plan and reported in the output).
+
+Protocol = bench_scaling.py's exactly: fresh taskset-pinned JVM per
+level (availableProcessors/GC sized to the level), tmpfs scratch wiped
+between levels, interleaved trials, per-level MIN estimator (host
+contention on this drifting VM only ever adds time).
+
+    python scripts/join_scaling.py [--update-baseline]
+    SCALE_N=4 SCALE_TRIALS=3 SCALE_REPEAT=2 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBE_DIR = os.environ.get("JOIN_PROBE_DIR", "/root/repo/data/joinprobe")
+REPLICAS = int(os.environ.get("JOIN_REPLICAS", "32"))
+KEY_OFFSET = 1_000_000  # > max orderkey at any driver sf
+N_SMALL = int(os.environ.get("SCALE_N", "4"))
+REPEAT = int(os.environ.get("SCALE_REPEAT", "2"))
+
+
+def ensure_probe_data() -> None:
+    """Deterministic 32x blow-up of (lineitem, orders); customer copied.
+    Replica r shifts the orderkey by r*KEY_OFFSET on BOTH sides, so the
+    join graph is 32 disjoint copies — output = 32x the sf0.1 groups and
+    per-key fan-in is unchanged (no artificial skew)."""
+    if os.path.exists(f"{PROBE_DIR}/_DONE"):
+        return
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
+
+    spark = build_session(app="join-probe-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").crossJoin(rep)
+    li = li.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * KEY_OFFSET).drop("_r")
+    li.repartition(64).write.mode("overwrite").parquet(f"{PROBE_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SRC}/orders.parquet").crossJoin(rep)
+    od = od.withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * KEY_OFFSET).drop("_r")
+    od.repartition(16).write.mode("overwrite").parquet(f"{PROBE_DIR}/orders.parquet")
+    spark.read.parquet(f"{SRC}/customer.parquet").write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/customer.parquet"
+    )
+    open(f"{PROBE_DIR}/_DONE", "w").write("ok\n")
+    spark.stop()
+
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+import os as _os
+_os.makedirs("/dev/shm/spark-local", exist_ok=True)
+_os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
+from fluent_plugin_kubernetes_metadata_filter_spark import queries as q
+
+cpus, probe_dir, repeat = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = build_session(app=f"join-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+df = q.q_order_revenue(spark, probe_dir)
+plan = df._jdf.queryExecution().executedPlan().toString()
+shuffle_join = ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+n_li = spark.read.parquet(f"{probe_dir}/lineitem.parquet").count()  # warm JVM
+best = None
+for _ in range(repeat):
+    t0 = time.time()
+    q.q_order_revenue(spark, probe_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_lineitem": n_li, "sec": round(best, 3),
+                  "rows_per_sec": round(n_li / best, 1),
+                  "shuffle_join_in_plan": shuffle_join}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    import shutil
+
+    shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
+    cmd = [sys.executable, "-c", CHILD, str(cpus), PROBE_DIR, str(REPEAT)]
+    if os.path.exists("/usr/bin/taskset") and os.environ.get("SCALE_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main():
+    ensure_probe_data()
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    runs: dict[int, list[dict]] = {N_SMALL: [], N_SMALL * 4: []}
+    for _ in range(trials):
+        for n in (N_SMALL, N_SMALL * 4):
+            r = run_level(n)
+            runs[n].append(r)
+            print(json.dumps(r), flush=True)
+    small = max(runs[N_SMALL], key=lambda r: r["rows_per_sec"])
+    big = max(runs[N_SMALL * 4], key=lambda r: r["rows_per_sec"])
+    eff = (big["rows_per_sec"] / small["rows_per_sec"]) / 4
+    result = {
+        "metric": "shuffle_join_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(T_{N_SMALL*4} / T_{N_SMALL}) / 4, min-of-{trials} per level, interleaved",
+        "job": "order_revenue (customer broadcast + orders |x| lineitem shuffle join)",
+        "input": f"{PROBE_DIR} ({REPLICAS}x sf0.1 blow-up, disjoint key ranges)",
+        "small": small,
+        "big": big,
+        "trials": runs,
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        data = {}
+        try:
+            with open("/root/repo/BENCH_SCALING.json") as fh:
+                data = json.load(fh)
+        except FileNotFoundError:
+            pass
+        data["shuffle_join_probe"] = result
+        with open("/root/repo/BENCH_SCALING.json", "w") as fh:
+            json.dump(data, fh, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
