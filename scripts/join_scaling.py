@@ -60,8 +60,18 @@ def ensure_probe_data() -> None:
     spark.read.parquet(f"{SRC}/customer.parquet").write.mode("overwrite").parquet(
         f"{PROBE_DIR}/customer.parquet"
     )
-    open(f"{PROBE_DIR}/_DONE", "w").write("ok\n")
+    open(f"{PROBE_DIR}/_DONE", "w").write(f"{REPLICAS}\n")
     spark.stop()
+
+
+def probe_replicas() -> str:
+    """The blow-up factor of the data actually on disk (the _DONE stamp),
+    not this process's REPLICAS env — the two can differ when a probe dir
+    is reused across invocations."""
+    try:
+        return open(f"{PROBE_DIR}/_DONE").read().strip() or "?"
+    except OSError:
+        return "?"
 
 
 CHILD = r"""
@@ -125,7 +135,7 @@ def main():
         "value": round(eff, 3),
         "unit": f"(T_{N_SMALL*4} / T_{N_SMALL}) / 4, min-of-{trials} per level, interleaved",
         "job": "order_revenue (customer broadcast + orders |x| lineitem shuffle join)",
-        "input": f"{PROBE_DIR} ({REPLICAS}x sf0.1 blow-up, disjoint key ranges)",
+        "input": f"{PROBE_DIR} ({probe_replicas()}x sf0.1 blow-up, disjoint key ranges)",
         "small": small,
         "big": big,
         "trials": runs,
