@@ -108,12 +108,16 @@ def resumable_fanout_write(df: DataFrame, out_dir: str, manifest: LineageManifes
         done = set(done) | {PASSTHROUGH}
     key = F.coalesce(F.col(route_column), F.lit(PASSTHROUGH))
     df = df.withColumn("_sink", key)
-    sinks = [r[0] for r in df.select("_sink").distinct().collect()]
-    todo = [s for s in sorted(sinks) if s not in done]
-
-    written: list[LineageRecord] = []
+    # persist BEFORE sink discovery: the distinct() is the first action
+    # over the enriched frame, so it populates the cache the per-group
+    # writes then read — persisting after it would execute the full
+    # scan+enrich DAG twice (once uncached for discovery, once for the
+    # first group)
     df.persist()
+    written: list[LineageRecord] = []
     try:
+        sinks = [r[0] for r in df.select("_sink").distinct().collect()]
+        todo = [s for s in sorted(sinks) if s not in done]
         for i in range(0, len(todo), sink_batch):
             group = todo[i: i + sink_batch]
             t0 = time.time()

@@ -22,7 +22,10 @@ def _counters() -> dict[str, F.Column]:
     matched = F.col("i_matched")
     full = F.col("i_full")  # explicit branch flag (null pod_ip is still full)
     orphaned = F.col("orphaned_namespace").isNotNull()
-    ns_only = F.col("namespace_id").isNotNull() & (F.col("namespace_id") != "orphaned") & ~full
+    # NOT the literal 'orphaned': orphan rows carry the CONFIGURABLE
+    # orphaned_namespace_id in namespace_id, so exclude them by flag or
+    # a custom id would double-count orphans as ns-only hits
+    ns_only = F.col("namespace_id").isNotNull() & ~orphaned & ~full
     return {
         "events_total": F.count(F.lit(1)),
         "pod_enriched": F.count(F.when(full, 1)),
@@ -36,19 +39,32 @@ def _counters() -> dict[str, F.Column]:
 
 
 class PipelineStats:
-    """Attach counters to an enriched DataFrame; read after an action."""
+    """Attach counters to enriched DataFrames; read after an action.
+
+    One fresh Observation per ``attach`` — a PySpark 4 Observation is
+    single-use (re-attaching raises REUSE_OBSERVATION), and the
+    reference's counters are CUMULATIVE across batches (dump_stats,
+    filter:109), so ``dump`` sums every observed batch so far. Call it
+    only after the attached frames' actions have run (``Observation.get``
+    blocks until its action completes)."""
 
     def __init__(self) -> None:
-        self._obs = Observation("k8s_meta_pipeline_stats")
+        self._observations: list[Observation] = []
         self._t0 = time.time()
 
     def attach(self, enriched_df: DataFrame) -> DataFrame:
+        obs = Observation(f"k8s_meta_pipeline_stats_{len(self._observations)}")
+        self._observations.append(obs)
         cols = [v.alias(k) for k, v in _counters().items()]
-        return enriched_df.observe(self._obs, *cols)
+        return enriched_df.observe(obs, *cols)
 
     def dump(self) -> dict:
-        """The dump_stats analogue: counters + wall time, JSON-able."""
-        vals = dict(self._obs.get)
+        """The dump_stats analogue: counters summed over every observed
+        batch + wall time, JSON-able."""
+        vals: dict = {}
+        for obs in self._observations:
+            for k, v in dict(obs.get).items():
+                vals[k] = vals.get(k, 0) + v
         vals["wall_time_sec"] = round(time.time() - self._t0, 3)
         return vals
 

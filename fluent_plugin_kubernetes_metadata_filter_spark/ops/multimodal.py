@@ -133,14 +133,18 @@ def resize_stub(df: DataFrame, width: int, height: int,
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration_ms) into
     frame timestamps JVM-side; the decode of each frame is the stubbed
-    part. Demonstrates pruning: the payload column is not touched here."""
+    part. Demonstrates pruning: the payload column is not touched here.
+
+    Videos shorter than ``every_ms`` (n == 0) and null durations emit NO
+    frames — without the n > 0 guard, greatest(n-1, 0) would fabricate a
+    frame at t=0 for both (greatest ignores nulls)."""
     n = (F.col("duration_ms") / every_ms).cast("int")
     return (
-        df.where(F.col("kind") == "video")
+        df.where((F.col("kind") == "video") & n.isNotNull() & (n > 0))
         .select(
             "media_id",
             F.explode(
-                F.transform(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), lambda i: i * every_ms)
+                F.transform(F.sequence(F.lit(0), n - 1), lambda i: i * every_ms)
             ).alias("frame_ts_ms"),
         )
     )

@@ -20,6 +20,7 @@ from fluent_plugin_kubernetes_metadata_filter_spark.enrich import (
 )
 from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table, write_routed
 from fluent_plugin_kubernetes_metadata_filter_spark.route import (
+    PASSTHROUGH,
     per_sink_counts,
     route_partition,
     stable_order,
@@ -83,7 +84,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
         return (
             back.groupBy(
                 F.coalesce(
-                    F.col(cfg.route_column).cast("string"), F.lit("__passthrough__")
+                    F.col(cfg.route_column).cast("string"), F.lit(PASSTHROUGH)
                 ).alias("sink")
             )
             .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -17,7 +17,12 @@ from fluent_plugin_kubernetes_metadata_filter_spark import pipeline
 from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
 from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
 from fluent_plugin_kubernetes_metadata_filter_spark.parse import extract_source_fields
-from fluent_plugin_kubernetes_metadata_filter_spark.route import per_sink_counts, stable_order, salted_repartition
+from fluent_plugin_kubernetes_metadata_filter_spark.route import (
+    PASSTHROUGH,
+    per_sink_counts,
+    salted_repartition,
+    stable_order,
+)
 
 ANNOT_CFG = PipelineConfig(annotation_match=("custom.+", "^field"))
 
@@ -31,9 +36,16 @@ def _fl(col, k: int = 4):
 
 
 def _map_str(m) -> F.Column:
-    """Deterministic 'k=v,k=v' rendering of a map, sorted by key."""
+    """Deterministic 'k=v,k=v' rendering of a map, sorted by KEY — the
+    entry structs are sorted before rendering, matching the oracle's
+    string_agg(... ORDER BY key). Sorting the concatenated 'k=v'
+    strings instead would diverge whenever one key prefixes another
+    ('app' vs 'app.kubernetes.io/name': '=' > '.' flips the order)."""
     return F.array_join(
-        F.array_sort(F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+        F.transform(
+            F.array_sort(F.map_entries(m)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
         ",",
     )
 
@@ -100,7 +112,7 @@ def q_sink_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed counts by (sink, role) — the per-path counter aggregate."""
     df = pipeline.enrich_transcripts(spark, sf_dir)
     return df.groupBy(
-        F.coalesce(F.col("namespace_name"), F.lit("__passthrough__")).alias("sink"),
+        F.coalesce(F.col("namespace_name"), F.lit(PASSTHROUGH)).alias("sink"),
         "role",
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -488,12 +500,12 @@ def q_minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so this passes only if (a) the verify stage's Jaccard values
     are exact AND (b) LSH recall is 100% at this scale (planted near-dups
     sit far above the 0.5 threshold; measured recall 1.0 at sf0.01 —
-    at production scale LSH recall < 1 is the accepted trade)."""
-    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
+    at production scale LSH recall < 1 is the accepted trade).
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dd.minhash_dedup(docs, threshold=0.5)
-    return pairs.select("id_a", "id_b", _fl(F.col("jaccard"), 4).alias("jaccard"))
+    Delegates to q_minhash_pairs: the two driver registrations are BY
+    DESIGN the same computation (one rows-only, one value-gated) — a
+    separate copy could silently desynchronize."""
+    return q_minhash_pairs(spark, sf_dir)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

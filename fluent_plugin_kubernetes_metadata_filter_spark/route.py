@@ -76,19 +76,16 @@ def per_sink_counts(df: DataFrame, route_column: str = "namespace_name") -> Data
     )
 
 
-def observed(df: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, Observation]:
+def observed(df: DataFrame) -> tuple[DataFrame, Observation]:
     """Counter semantics of kubernetes_metadata_stats.rb:26-45 via
     ``observe`` — computed inline with whatever action consumes the
-    DataFrame, no extra job."""
+    DataFrame, no extra job. Delegates to metrics._counters so each
+    counter has exactly ONE definition (an earlier inline copy counted
+    pod_enriched as count(pod_id), which also includes as-of-accepted
+    rows whose pod_id is only the tag cache key — diverging from the
+    i_full-based definition the pipeline reports)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.metrics import _counters
+
     obs = Observation("k8s_meta_stats")
-    df = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("events_total"),
-        F.count(F.col("pod_id")).alias("pod_enriched"),
-        F.count(F.col("orphaned_namespace")).alias("orphaned_records"),
-        F.count(F.when(F.col("i_matched") & F.col("pod_id").isNull(), 1)).alias(
-            "pod_cache_miss"
-        ),
-        F.count(F.when(~F.col("i_matched"), 1)).alias("passthrough"),
-    )
+    df = df.observe(obs, *[v.alias(k) for k, v in _counters().items()])
     return df, obs

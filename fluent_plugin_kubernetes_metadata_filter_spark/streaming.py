@@ -29,6 +29,7 @@ import pyspark.sql.types as T
 
 from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
 from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
+from fluent_plugin_kubernetes_metadata_filter_spark.route import PASSTHROUGH
 from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
 
 TRANSCRIPT_SCHEMA = T.StructType(
@@ -163,7 +164,7 @@ def windowed_sink_counts(stream_df: DataFrame,
         enriched.withWatermark("ts", watermark)
         .groupBy(
             F.window("ts", window).alias("w"),
-            F.coalesce(F.col("namespace_name"), F.lit("__passthrough__")).alias("sink"),
+            F.coalesce(F.col("namespace_name"), F.lit(PASSTHROUGH)).alias("sink"),
         )
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -350,3 +350,19 @@ def test_custom_tag_regex_override(spark, pods_dim, ns_dim):
     r = run(spark, pods_dim, ns_dim, tag, cfg)
     assert r["pod_id"] == POD_UID
     assert r["namespace_name"] == "default"
+
+
+def test_map_str_prefix_keys_sort_by_key(spark):
+    """Map rendering sorts by KEY (the oracle's string_agg ORDER BY
+    key). Sorting the concatenated 'k=v' strings would flip any
+    prefix-pair — 'app' vs 'app.kubernetes.io/name' ('=' 0x3D sorts
+    after '.' 0x2E) — and hash-mismatch the oracle."""
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.queries import _map_str
+
+    df = spark.createDataFrame(
+        [({"app": "x", "app.kubernetes.io/name": "y"},)], "m map<string,string>"
+    )
+    out = df.select(_map_str(F.col("m")).alias("s")).collect()[0].s
+    assert out == "app=x,app.kubernetes.io/name=y"

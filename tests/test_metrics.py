@@ -22,3 +22,42 @@ def test_pipeline_stats_counters(spark):
     import json
 
     json.loads(stats.dump_json())  # serializable
+
+
+def test_pipeline_stats_accumulates_across_batches(spark):
+    """The reference's counters are cumulative across filter() batches
+    (dump_stats); a PySpark Observation is single-use, so each attach
+    gets a fresh one and dump() sums them — re-attaching the same
+    Observation would raise REUSE_OBSERVATION on the second batch."""
+    df = pipeline.enrich_transcripts(spark, SF)
+    stats = PipelineStats()
+    n1 = stats.attach(df).count()
+    n2 = stats.attach(df).count()
+    d = stats.dump()
+    assert d["events_total"] == n1 + n2
+
+
+def test_ns_only_counter_respects_custom_orphan_id(spark):
+    """Orphan rows carry the CONFIGURABLE orphaned_namespace_id in
+    namespace_id; the ns-only counter must exclude them by the orphan
+    FLAG, not by comparing against the literal 'orphaned'."""
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.metrics import _counters
+
+    rows = [
+        # orphan with a custom id: must NOT count as ns-only
+        (True, False, "deleted-ns", "orph-x", None),
+        # genuine ns-only hit (pod dim miss, ns found)
+        (True, False, None, "ns-01", None),
+        # full enrichment
+        (True, True, None, "ns-01", "p1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i_matched boolean, i_full boolean, orphaned_namespace string, "
+        "namespace_id string, pod_id string",
+    )
+    agg = df.agg(*[v.alias(k) for k, v in _counters().items()]).collect()[0]
+    assert agg["id_cache_pod_not_found_namespace"] == 1
+    assert agg["id_cache_orphaned_record"] == 1

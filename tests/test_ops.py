@@ -396,6 +396,21 @@ def test_frame_sample_plan(spark):
     assert one == sorted(one) and one[0] == 0
 
 
+def test_frame_sample_plan_short_and_null_durations(spark):
+    """A video shorter than the sample interval yields ZERO frames, and
+    a null duration yields zero frames — no phantom frame at t=0."""
+    rows = [
+        (1, "video", None, "video/mp4", None, None, 500),    # < every_ms
+        (2, "video", None, "video/mp4", None, None, None),   # unknown
+        (3, "video", None, "video/mp4", None, None, 2500),   # 2 frames
+        (4, "image", None, "image/png", 64, 48, None),       # not video
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {(r.media_id, r.frame_ts_ms)
+           for r in multimodal.frame_sample_plan(media, every_ms=1000).collect()}
+    assert got == {(3, 0), (3, 1000)}
+
+
 def test_ivf_topk_recall(spark, emb):
     q = emb.where("vec_id < 10")
     c = emb.where("vec_id >= 10")

@@ -90,7 +90,7 @@ def test_observe_metrics(spark):
     from fluent_plugin_kubernetes_metadata_filter_spark.route import observed
 
     df = pipeline.enrich_transcripts(spark, SF)
-    df, obs = observed(df, PipelineConfig())
+    df, obs = observed(df)
     n = df.count()
     m = obs.get
     assert m["events_total"] == n
