@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q.q_fingerprint,
         "ngram_jaccard": q.q_ngram_jaccard,
         "dedup_keepers": q.q_dedup_keepers,
+        "dedup_pipeline": q.q_dedup_pipeline,
         "ann_topk": q.q_ann_topk,
         "ann_topk_gemm": q.q_ann_topk_gemm,
         "ann_topk_ivf": q.q_ann_topk_ivf,

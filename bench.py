@@ -62,6 +62,7 @@ def bench(spark, sf_dir):
     timed("dedup_exact", lambda: q.q_dedup_exact(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect())
     timed("dedup_keepers", lambda: q.q_dedup_keepers(spark, sf_dir).write.format("noop").mode("overwrite").save())
+    timed("dedup_pipeline", lambda: q.q_dedup_pipeline(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("media_features", lambda: q.q_media_features(spark, sf_dir).write.format("noop").mode("overwrite").save())
     timed("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect())
     timed("simhash", lambda: q.q_simhash(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -270,6 +270,41 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return jaccard_verify(df, cand, text_col, id_col, threshold)
 
 
+def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   threshold: float = 0.5, bucket_cap: int | None = 512) -> DataFrame:
+    """End-to-end web-scale dedup keeper assignment — the composition the
+    bucket-cap contract requires, as one tested unit:
+
+    1. ``exact_dedup`` collapses normalized byte-identical copies. This
+       is what makes the LSH bucket cap SOUND: identical docs share
+       every band, so a web-scale mega-cluster (often millions of
+       copies of one page) would otherwise overflow any per-bucket cap
+       and get dropped wholesale.
+    2. ``minhash_dedup`` (LSH + exact-Jaccard verify, capped) runs over
+       the exact KEEPERS only — at most one member per exact cluster in
+       any bucket.
+    3. Exact edges (keeper -> copy) union the verified near-dup edges
+       into one graph; ``propagate_min_keeper`` assigns every doc the
+       component-min id.
+
+    Returns (id, keep_id, is_dup). Shuffle count: one for the exact
+    fingerprint window, one for the MinHash signature groupBy, one for
+    the band-bucket expansion, O(log diameter) label rounds — each
+    stage map-side-combined and capped as documented on its operator.
+    """
+    ex = exact_dedup(df, text_col, id_col)
+    keepers = df.join(
+        ex.where(~F.col("is_dup")).select(id_col), id_col
+    )
+    near = minhash_dedup(keepers, text_col, id_col, threshold, bucket_cap)
+    exact_edges = ex.where(F.col("is_dup")).select(
+        F.col("keep_id").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    edges = exact_edges.unionByName(near.select("id_a", "id_b"))
+    keep = propagate_min_keeper(edges, df.select(id_col), id_col)
+    return keep.withColumn("is_dup", F.col("keep_id") != F.col(id_col))
+
+
 # ----------------------------------------------------------- SimHash
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -368,6 +368,63 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
 GROUP BY d.doc_id"""
 
+    # end-to-end dedup composition: exact groups (normalized-md5) +
+    # all-pairs Jaccard >= 0.5 among exact KEEPERS (matching the
+    # engine's exact-then-LSH staging; shingle definition identical to
+    # minhash_jaccard_verified), transitive closure, keeper = component
+    # min. Valid because LSH recall is 1.0 at the gate sf (measured).
+    q["dedup_pipeline"] = """
+WITH RECURSIVE norm AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+ex AS (SELECT doc_id, f, MIN(doc_id) OVER (PARTITION BY f) AS k0 FROM norm),
+keepers AS (
+  SELECT n.doc_id, n.text FROM norm n JOIN ex e ON n.doc_id = e.doc_id
+  WHERE e.doc_id = e.k0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM keepers
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
+  WHERE len(tk) >= 3
+  UNION
+  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+exact_edges AS (SELECT k0 AS u, doc_id AS v FROM ex WHERE doc_id <> k0),
+edges AS (
+  SELECT u, v FROM exact_edges
+  UNION ALL SELECT v, u FROM exact_edges
+  UNION ALL SELECT id_a, id_b FROM jac
+  UNION ALL SELECT id_b, id_a FROM jac
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS BIGINT) AS keep_id,
+       CAST(least(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) <> d.doc_id AS BOOLEAN) AS is_dup
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id"""
+
     q["ann_topk"] = """
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

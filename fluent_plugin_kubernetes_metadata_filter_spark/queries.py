@@ -399,6 +399,20 @@ def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-scale dedup composition as ONE driver-gated unit:
+    exact_dedup (normalized-md5, collapses the mega-clusters that make
+    LSH bucket caps sound) -> capped MinHash-LSH + exact-Jaccard verify
+    over the exact keepers only -> union of exact and near-dup edges ->
+    connected-component keeper (pointer-jumping min-label). Oracle:
+    DuckDB recomputes the same graph (exact groups + all-pairs Jaccard
+    >= 0.5 among keepers) and closes it with a recursive CTE."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import dedup_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_pipeline(docs).select("doc_id", "keep_id", "is_dup")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5) over the
     embeddings table — the exact baseline an IVF/LSH path approximates.

@@ -215,6 +215,30 @@ def test_propagate_min_keeper_long_chain_pointer_jumping(spark):
     assert keep == {i: 0 for i in range(n)}
 
 
+def test_dedup_pipeline_mega_cluster_beyond_cap(spark, docs):
+    """THE scenario the bucket-cap contract exists for: an exact-copy
+    cluster LARGER than the LSH cap. The exact stage collapses it to
+    one keeper, so the capped LSH never sees the cluster; the near-dup
+    edge from the cluster's text to a tweaked variant still lands, and
+    every copy plus the variant resolves to one component keeper."""
+    base = docs.where("doc_id = 5").select("text")
+    copies = base.crossJoin(
+        spark.range(30000, 30600).select(F.col("id").alias("doc_id"))
+    ).select("doc_id", "text")  # 600 identical copies, cap is 8 below
+    variant = base.select(
+        F.lit(40000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny tail")).alias("text"),
+    )
+    solo = docs.where("doc_id = 7").select("doc_id", "text")
+    df = copies.union(variant).union(solo)
+    out = {r.doc_id: r.keep_id
+           for r in dedup.dedup_pipeline(df, bucket_cap=8).collect()}
+    assert out[30000] == 30000                       # cluster min keeps
+    assert all(out[i] == 30000 for i in range(30001, 30600))
+    assert out[40000] == 30000                       # near-dup joins the component
+    assert out[7] == 7                               # unrelated doc untouched
+
+
 def test_propagate_min_keeper_nonconvergence_raises(spark):
     """Hitting max_iter without convergence must raise — intermediate
     labels look valid but are not component minima."""
