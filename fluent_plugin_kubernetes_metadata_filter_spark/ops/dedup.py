@@ -66,10 +66,15 @@ def shingles(text_col, k: int = 3) -> F.Column:
     ).otherwise(F.array(F.array_join(tk, " ")))
 
 
+def _content_fingerprint(text_col: str) -> F.Column:
+    """Normalized-content hash shared by exact_dedup and dedup_pipeline —
+    one definition so the exact-duplicate grouping can't drift."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized content hash; keeper = min id."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    d = df.select(id_col, F.md5(norm).alias("fingerprint"))
+    d = df.select(id_col, _content_fingerprint(text_col).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return d.select(
         id_col,
@@ -293,8 +298,14 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     stage map-side-combined and capped as documented on its operator.
     """
     ex = exact_dedup(df, text_col, id_col)
-    keepers = df.join(
-        ex.where(~F.col("is_dup")).select(id_col), id_col
+    # keepers via a fingerprint-window filter, NOT a join back onto ex:
+    # a join would shuffle the full text-carrying corpus a second time;
+    # the window shuffles it once on the same key exact_dedup groups by
+    w = Window.partitionBy(_content_fingerprint(text_col))
+    keepers = (
+        df.withColumn("_k0", F.min(F.col(id_col)).over(w))
+        .where(F.col(id_col) == F.col("_k0"))
+        .drop("_k0")
     )
     near = minhash_dedup(keepers, text_col, id_col, threshold, bucket_cap)
     exact_edges = ex.where(F.col("is_dup")).select(
