@@ -1,0 +1,30 @@
+"""Driver-contract invariants over __spark_entry__."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_every_oracle_key_has_a_query():
+    """oracle_sql() must be a subset of queries(): an oracle for a
+    missing query would fail the driver's gate at runtime, and the
+    column-name contract means the two are maintained as pairs."""
+    import __spark_entry__ as e
+
+    queries = set(e.queries())
+    oracles = set(e.oracle_sql())
+    assert oracles <= queries, oracles - queries
+    # rows-only keys are the documented xxhash-based quartet
+    assert queries - oracles == {
+        "minhash_pairs", "simhash", "simhash_pairs", "lsh_neardup"
+    }
+
+
+def test_queries_are_callables_with_uniform_signature():
+    import inspect
+
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, (name, params)
