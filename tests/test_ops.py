@@ -215,6 +215,25 @@ def test_propagate_min_keeper_long_chain_pointer_jumping(spark):
     assert keep == {i: 0 for i in range(n)}
 
 
+def test_dedup_pipeline_keeper_stage_single_exchange(spark, docs):
+    """Scale armor: exact-keeper selection is ONE shuffle (the
+    fingerprint window) — a join back onto the exact table would
+    shuffle the text-carrying corpus twice."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(_content_fingerprint("text"))
+    keepers = (
+        docs.withColumn("_k0", F.min(F.col("doc_id")).over(w))
+        .where(F.col("doc_id") == F.col("_k0"))
+        .drop("_k0")
+    )
+    plan = keepers._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_dedup_pipeline_mega_cluster_beyond_cap(spark, docs):
     """THE scenario the bucket-cap contract exists for: an exact-copy
     cluster LARGER than the LSH cap. The exact stage collapses it to
