@@ -69,14 +69,19 @@ def _det_uuid(name: str) -> str:
 
 
 def _hex64(name: str) -> str:
-    h = hashlib.sha256(name.encode()).hexdigest()
-    return h + hashlib.sha256((name + "x").encode()).hexdigest()[: 64 - len(h)]
+    return hashlib.sha256(name.encode()).hexdigest()  # hexdigest is 64 chars
 
 
 def sf_from_dir(sf_dir: str) -> str:
-    """Extract the 'sf0.01'-style component from a testdata dir path."""
+    """Extract the 'sf0.01'-style component from a testdata dir path.
+
+    Raises on a path with no sfN component: a silent sf0.01 fallback
+    would pair a typo'd SPARK_GRAFT_SF_DIR with wrong-scale aux dims —
+    exactly the silent-mismatch oracle_check guards against."""
     m = re.search(r"(sf\d+(?:\.\d+)?)", sf_dir)
-    return m.group(1) if m else "sf0.01"
+    if not m:
+        raise ValueError(f"no sfN component in {sf_dir!r}; pass a .../sf<scale> dir")
+    return m.group(1)
 
 
 def _n_convs(sf_name: str) -> int:

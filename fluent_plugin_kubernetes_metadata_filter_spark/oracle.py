@@ -128,6 +128,43 @@ enriched AS (
 )"""
 
 
+def _jaccard_ctes(source: str = "documents", fallback: bool = False) -> str:
+    """toks/sh/sizes/inter/jac CTE chain shared by every shingle-Jaccard
+    oracle — ONE definition of the 3-gram shingle + Jaccard SQL, so the
+    four queries that rank on it cannot drift apart. ``fallback=True``
+    adds the whole-text shingle for <3-token docs (the ops.dedup.shingles
+    definition the MinHash stack uses); the n-gram query path has no
+    fallback. ``jac`` exposes ``jaccard`` (floored to the 1e-4 grid) and
+    ``raw_j`` (exact, for raw-threshold filters)."""
+    sh_fallback = (
+        "\n  WHERE len(tk) >= 3"
+        "\n  UNION"
+        "\n  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3"
+        if fallback else ""
+    )
+    return f"""toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM {source}
+),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i){sh_fallback}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard,
+         i * 1.0 / (sa.sz + sb.sz - i) AS raw_j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
 def oracle_queries(aux_dir: str | None = None) -> dict[str, str]:
     """Oracle SQL per query. ``aux_dir`` points at the generated
     transcripts/dims matching the scale factor under comparison; the
@@ -305,53 +342,15 @@ SELECT doc_id, md5(norm) AS doc_fp,
        CAST(greatest(len(string_split(norm, ' ')) - 4, 0) AS BIGINT) AS n_shingles5
 FROM n"""
 
-    q["ngram_jaccard"] = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT id_a, id_b,
-         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-)
+    q["ngram_jaccard"] = f"""
+WITH {_jaccard_ctes()}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.55"""
 
     # connected-component keepers over the ngram_jaccard pair graph:
     # recursive-CTE transitive closure, keeper = min reachable id — the
     # set-based ground truth for the iterative Spark label propagation
-    q["dedup_keepers"] = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT id_a, id_b,
-         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-),
+    q["dedup_keepers"] = f"""
+WITH RECURSIVE {_jaccard_ctes()},
 edges AS (
   SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.55
   UNION ALL
@@ -373,7 +372,7 @@ GROUP BY d.doc_id"""
     # engine's exact-then-LSH staging; shingle definition identical to
     # minhash_jaccard_verified), transitive closure, keeper = component
     # min. Valid because LSH recall is 1.0 at the gate sf (measured).
-    q["dedup_pipeline"] = """
+    q["dedup_pipeline"] = f"""
 WITH RECURSIVE norm AS (
   SELECT doc_id, text,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
@@ -384,35 +383,13 @@ keepers AS (
   SELECT n.doc_id, n.text FROM norm n JOIN ex e ON n.doc_id = e.doc_id
   WHERE e.doc_id = e.k0
 ),
-toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM keepers
-),
-sh AS (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
-  WHERE len(tk) >= 3
-  UNION
-  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
-),
+{_jaccard_ctes(source="keepers", fallback=True)},
 exact_edges AS (SELECT k0 AS u, doc_id AS v FROM ex WHERE doc_id <> k0),
 edges AS (
   SELECT u, v FROM exact_edges
   UNION ALL SELECT v, u FROM exact_edges
-  UNION ALL SELECT id_a, id_b FROM jac
-  UNION ALL SELECT id_b, id_a FROM jac
+  UNION ALL SELECT id_a, id_b FROM jac WHERE raw_j >= 0.5
+  UNION ALL SELECT id_b, id_a FROM jac WHERE raw_j >= 0.5
 ),
 reach(u, v) AS (
   SELECT u, v FROM edges
@@ -483,31 +460,8 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.2"""
     # docs). Checks the engine's LSH-candidate + verify output by VALUE:
     # passes only if the verify stage is exact and LSH recall is 1.0 at
     # this sf (measured; see q_minhash_jaccard_verified).
-    q["minhash_jaccard_verified"] = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)
-  WHERE len(tk) >= 3
-  UNION
-  SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT id_a, id_b,
-         floor(i * 1.0 / (sa.sz + sb.sz - i) * 10000) / 10000 AS jaccard,
-         i * 1.0 / (sa.sz + sb.sz - i) AS raw_j
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-)
+    q["minhash_jaccard_verified"] = f"""
+WITH {_jaccard_ctes(fallback=True)}
 SELECT id_a, id_b, jaccard FROM jac WHERE raw_j >= 0.5"""
 
     # argmax over stopword profiles; WHEN order = en,de,fr,es (ties -> en)
@@ -566,6 +520,11 @@ WITH base AS (
          list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS bs,
          length(text) AS n
   FROM documents
+  -- the chunking below indexes CHARACTERS; it equals the engine's BYTE
+  -- chunking only while the text is pure ASCII. Fail loudly the moment
+  -- a data refresh breaks that invariant instead of hash-mismatching.
+  WHERE CASE WHEN octet_length(encode(text)) = length(text) THEN TRUE
+             ELSE error('media_features oracle requires ASCII text (char chunking != byte chunking)') END
 )
 SELECT media_id, kind, n_bytes, payload_hash,
        {feats}

@@ -39,9 +39,12 @@ def enrich_transcripts(spark: SparkSession, sf_dir: str,
     return enrich(df, pods, ns, cfg)
 
 
-def routed_output(spark: SparkSession, sf_dir: str,
+def routed_frames(src: DataFrame, pods: DataFrame, ns: DataFrame,
                   cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
-    """Enriched rows in emit shape: structs assembled, stable order."""
+    """Frame-level composition shared by the sandbox and cluster entry
+    points — ONE definition of the output contract (pruned emit shape:
+    input cols + turn_seq + assembled structs; no scratch columns) and
+    ONE shuffle plan, whatever the source."""
     # Order of operations is chosen by shuffle VOLUME:
     # 1. stable_order on the RAW input — the conv_id window shuffles only
     #    the 6 narrow input columns, not the enriched width;
@@ -50,10 +53,7 @@ def routed_output(spark: SparkSession, sf_dir: str,
     # 3. route_partition — the only other full shuffle, carrying the
     #    final width once. Window-after-salt would also let the window
     #    exchange undo the salt right before the write.
-    df = load_table(spark, sf_dir, "transcripts")
-    df = stable_order(df)
-    pods = load_table(spark, sf_dir, "pods_dim")
-    ns = load_table(spark, sf_dir, "namespaces_dim")
+    df = stable_order(src)
     df = enrich(df, pods, ns, cfg)
     df = assemble_structs(df)
     keep = INPUT_COLS + ["turn_seq", "kubernetes_meta", "docker_meta", "namespace_name"]
@@ -66,6 +66,17 @@ def routed_output(spark: SparkSession, sf_dir: str,
         # See PipelineConfig.route_exchange for the file-count trade.
         return df
     return route_partition(df, cfg, cfg.route_column)
+
+
+def routed_output(spark: SparkSession, sf_dir: str,
+                  cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Enriched rows in emit shape: structs assembled, stable order."""
+    return routed_frames(
+        load_table(spark, sf_dir, "transcripts"),
+        load_table(spark, sf_dir, "pods_dim"),
+        load_table(spark, sf_dir, "namespaces_dim"),
+        cfg,
+    )
 
 
 def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,

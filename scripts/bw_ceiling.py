@@ -27,11 +27,18 @@ SECONDS = float(os.environ.get("BW_SECONDS", "5"))
 WORKER = r"""
 import sys, time
 import numpy as np
-seconds = float(sys.argv[1])
+seconds, deadline = float(sys.argv[1]), float(sys.argv[2])
 a = np.random.randint(0, 255, size=64_000_000, dtype=np.uint8)  # 64 MB >> L3
 b = np.empty_like(a)
-# warmup
+# warmup (also first-touches b's pages)
 np.copyto(b, a)
+# barrier on a shared wall-clock deadline: every worker's timed window
+# starts together, so the summed bandwidth is measured under FULL
+# contention. Self-timed windows would start skewed by per-process
+# interpreter/numpy/alloc time — more skew at 16 workers than 4, which
+# would inflate the 16-core aggregate and bias the ceiling upward.
+while time.time() < deadline:
+    time.sleep(0.001)
 t0 = time.time(); n = 0
 while time.time() - t0 < seconds:
     np.copyto(b, a)
@@ -42,9 +49,13 @@ print((n * a.nbytes * 2) / dt)  # read + write bytes/s
 
 
 def level(cores: int) -> float:
+    import time
+
+    deadline = time.time() + 4.0  # spawn + import + 64MB alloc headroom
     procs = []
     for c in range(cores):
-        cmd = ["taskset", "-c", str(c), sys.executable, "-c", WORKER, str(SECONDS)]
+        cmd = ["taskset", "-c", str(c), sys.executable, "-c", WORKER,
+               str(SECONDS), str(deadline)]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
     total = 0.0
     for p in procs:

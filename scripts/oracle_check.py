@@ -53,6 +53,12 @@ def main(only=None):
     from fluent_plugin_kubernetes_metadata_filter_spark.oracle import oracle_queries
 
     oq = oracle_queries(aux_dir=ensure_sf(SF_DIR))
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            # a typo'd name must FAIL, not silently check nothing and
+            # exit 0 with "FAILURES: 0"
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -42,6 +42,7 @@ def main(argv=None):
     ap.add_argument("--salt-buckets", type=int, default=8)
     args = ap.parse_args(argv)
 
+    import pyspark.sql.functions as F
     from pyspark.sql import SparkSession
 
     from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
@@ -51,26 +52,30 @@ def main(argv=None):
         input_snapshot_id,
         resumable_fanout_write,
     )
-    from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
     from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir
     from fluent_plugin_kubernetes_metadata_filter_spark.route import (
+        PASSTHROUGH,
         per_sink_counts,
-        route_partition,
-        stable_order,
     )
 
     spark = SparkSession.builder.appName("k8s-meta-enrich-route").getOrCreate()
     cfg = PipelineConfig(salt_buckets=args.salt_buckets)
 
     t0 = time.time()
+    # ONE composition for both paths (pipeline.routed_frames): same
+    # pruned output contract (no scratch columns, structs assembled) and
+    # the same shuffle plan (window on the narrow raw input) whether the
+    # source is an sf dir or cluster parquet/Iceberg paths.
     if args.sf_dir:
         df = pipeline.routed_output(spark, args.sf_dir, cfg)
         in_path = aux_dir(args.sf_dir)
     else:
-        src = spark.read.parquet(args.input)
-        pods = spark.read.parquet(args.pods_dim)
-        ns = spark.read.parquet(args.ns_dim)
-        df = route_partition(stable_order(enrich(src, pods, ns, cfg)), cfg)
+        df = pipeline.routed_frames(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.pods_dim),
+            spark.read.parquet(args.ns_dim),
+            cfg,
+        )
         in_path = args.input
 
     if args.manifest and args.output:
@@ -79,8 +84,17 @@ def main(argv=None):
         recs = resumable_fanout_write(df, args.output, manifest, snap)
         counts = {r.sink: r.rows for r in recs}
     elif args.output:
+        # counts read back from the WRITTEN partitions (metadata-cheap):
+        # a per_sink_counts over the unwritten frame would execute the
+        # whole scan->enrich DAG a second time
         df.write.mode("overwrite").partitionBy(cfg.route_column).parquet(args.output)
-        counts = {r.sink: r.n_rows for r in per_sink_counts(df).collect()}
+        back = spark.read.parquet(args.output)
+        counts = {
+            r.sink: r.n_rows
+            for r in back.groupBy(
+                F.coalesce(F.col(cfg.route_column).cast("string"), F.lit(PASSTHROUGH)).alias("sink")
+            ).agg(F.count(F.lit(1)).alias("n_rows")).collect()
+        }
     else:
         counts = {r.sink: r.n_rows for r in per_sink_counts(df).collect()}
 
