@@ -46,7 +46,14 @@ def _membw_task(_):
     L3. Shuffle buffers, parquet decode, and Tungsten row copies are this
     shape; on a single box all pinned cores share one memory controller,
     so this probes the OTHER hardware ceiling (a multi-executor cluster
-    scales bandwidth with node count)."""
+    scales bandwidth with node count).
+
+    SUPERSEDED for the bandwidth number by scripts/bw_ceiling.py, whose
+    workers are separate pinned processes with start-synchronized timed
+    windows and ~5s of steady-state streaming; this pool-based task is
+    short (~0.3s) relative to dispatch overhead, so its bandwidth figure
+    is noisier than the cpu_regex one. Kept as the round-2 protocol of
+    record."""
     import numpy as np
 
     a = np.zeros(64 * 1024 * 1024 // 8, dtype=np.float64)  # 64 MB
