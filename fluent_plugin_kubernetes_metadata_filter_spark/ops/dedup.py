@@ -14,10 +14,14 @@ Scale notes: every stage is expression-only (whole-stage codegen; no
 Python in the hot path). ALL candidate generation (n-gram, MinHash-LSH,
 SimHash) routes through one machinery — ``grouped_pair_expansion`` —
 one shuffle keyed by an int64 bucket hash, k^2 pair expansion bounded
-by an observable per-bucket cap. Buckets over the cap are dropped: for
-near-dup buckets those are hash collisions with no similarity signal;
-for exact-duplicate mega-clusters (ubiquitous at web scale, and they
-share EVERY band) run ``exact_dedup`` first and feed only keepers. At
+by an observable per-bucket cap. Buckets over the cap are dropped:
+usually band-hash collisions with no similarity signal, but a large
+NEAR-duplicate cluster (e.g. >cap templated pages differing by a
+counter) also overflows every band and its true pairs drop with it —
+the entry points expose the drop count via ``obs_out`` so that loss is
+never invisible. For exact-duplicate mega-clusters (ubiquitous at web
+scale, and they share EVERY band) run ``exact_dedup`` first and feed
+only keepers. At
 100 TB you tune n_bands/rows_per_band for the target Jaccard threshold
 s ~ (1/b)^(1/r) and the verify stage stays proportional to the
 true-duplicate density.
@@ -116,7 +120,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
                            n_bands: int = N_BANDS,
-                           bucket_cap: int | None = 512) -> tuple[DataFrame, Observation | None]:
+                           bucket_cap: int | None = 512) -> tuple[DataFrame, "DropObservation | None"]:
     """Banded LSH: docs sharing any band signature become a candidate
     pair, via the capped grouped expansion (one shuffle keyed by the
     band-bucket hash — uniform by construction).
@@ -127,8 +131,12 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
     ``bucket_cap`` are dropped (observable via the returned Observation:
     ``dropped_tokens``/``max_df``), so duplicate CLUSTERS above the cap
     must be collapsed by an ``exact_dedup`` pre-pass (see
-    ``minhash_dedup``); near-dup buckets above the cap are random
-    band-hash collisions carrying no similarity signal.
+    ``minhash_dedup``). Most other over-cap buckets are random
+    band-hash collisions with no similarity signal — but a NEAR-dup
+    cluster larger than the cap (which exact_dedup cannot collapse)
+    also overflows its bands, so callers should surface the drop count
+    rather than assume collisions (see ``obs_out`` on the entry
+    points).
 
     The bucket key folds (band_idx, band_values) into one int64 xxhash64
     — cheaper to shuffle than a struct, and a hash collision can only
@@ -165,13 +173,42 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
     return pairs.distinct(), obs
 
 
+class DropObservation:
+    """Drop metrics for the capped pair expansion, robust to AQE.
+
+    Wraps the ``Observation`` attached to the hot-token count pass.
+    When zero tokens exceed the cap, the hot set is empty and AQE's
+    empty-relation propagation replaces the broadcast LEFT ANTI join
+    with its left child — removing the CollectMetrics node from the
+    final plan, so the raw observation row comes back EMPTY (and
+    ``Observation.get`` would raise deep in Py4J). That elimination
+    only fires when the build side is empty or all-NULL, i.e. exactly
+    when nothing was dropped — so an empty row IS the zero-drop proof,
+    and ``get`` reports it as ``{"dropped_tokens": 0, "max_df": None}``
+    (``max_df`` was not measured; it is <= the cap by construction).
+
+    Like ``Observation.get``, ``get`` waits for the first action on the
+    consuming DataFrame.
+    """
+
+    def __init__(self, obs: Observation):
+        self._obs = obs
+
+    @property
+    def get(self) -> dict:
+        jrow = self._obs._jo.getRow()  # blocks until the first action
+        if jrow.length() == 0:
+            return {"dropped_tokens": 0, "max_df": None}
+        return self._obs.get
+
+
 def grouped_pair_expansion(
     toks: DataFrame,
     id_col: str = "doc_id",
     tok_col: str = "tok",
     df_cap: int | None = 256,
     payload_col: str | None = None,
-) -> tuple[DataFrame, Observation | None]:
+) -> tuple[DataFrame, "DropObservation | None"]:
     """Ordered candidate pairs from a (id, token) table in ONE shuffle:
     group by token, sorted doc-list per token, pairs expanded inline —
     ~2x faster than the self-join formulation (no second shuffle of the
@@ -189,25 +226,40 @@ def grouped_pair_expansion(
     expansion so verification can run inline on the pair rows — output
     gains ``payload_a``/``payload_b`` columns — instead of re-joining
     the doc table twice (two extra shuffles at corpus width).
+
+    Over-cap tokens are removed BEFORE the collect_list, not after: a
+    count pass finds hot tokens and a broadcast anti-join drops their
+    rows, so a 10^7-member hot bucket never materializes a multi-GB
+    aggregation buffer (plus payload width) in one task just to be
+    filtered out. The hot set is at most |toks|/df_cap tokens and
+    zipf-concentrated in practice, so it broadcasts. Costs one extra
+    map-side-combined shuffle of the narrow (token) projection.
     """
     if payload_col is None:
         collected = F.collect_list(id_col)
     else:
         collected = F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
+    obs: DropObservation | None = None
+    if df_cap is not None:
+        raw = Observation()
+        counts = (
+            toks.groupBy(tok_col)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .observe(
+                raw,
+                F.count(F.when(F.col("df") > df_cap, 1)).alias("dropped_tokens"),
+                F.max("df").alias("max_df"),
+            )
+        )
+        hot = counts.where(F.col("df") > df_cap).select(tok_col)
+        toks = toks.join(F.broadcast(hot), tok_col, "left_anti")
+        obs = DropObservation(raw)
     groups = (
         # ids are unique, so sorting structs (id first) orders by id
         toks.groupBy(tok_col)
         .agg(F.sort_array(collected).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    obs: Observation | None = None
-    if df_cap is not None:
-        obs = Observation()
-        groups = groups.observe(
-            obs,
-            F.count(F.when(F.size("ds") > df_cap, 1)).alias("dropped_tokens"),
-            F.max(F.size("ds")).alias("max_df"),
-        ).where(F.size("ds") <= df_cap)
     if payload_col is None:
         mk = lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b"))  # noqa: E731
         out_cols = ["p.id_a", "p.id_b"]
@@ -262,21 +314,32 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.5, bucket_cap: int | None = 512) -> DataFrame:
+                  threshold: float = 0.5, bucket_cap: int | None = 512,
+                  obs_out: dict[str, "DropObservation"] | None = None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline -> verified pairs.
 
     ``bucket_cap`` bounds per-bucket pair expansion (see
-    minhash_lsh_candidates). Web-scale corpora carry exact-duplicate
-    clusters far larger than any sane cap — run ``exact_dedup`` first
-    and feed only the keepers here, so LSH buckets hold at most one
-    member per exact-duplicate cluster."""
+    minhash_lsh_candidates). Exact-duplicate clusters share every band,
+    and so do large NEAR-duplicate clusters (e.g. thousands of
+    templated pages differing by a date): either kind overflows any
+    sane cap. Run ``exact_dedup`` first so byte-identical clusters
+    collapse to one member — and pass ``obs_out`` (a dict the caller
+    owns) to observe what the cap dropped: after an action consumes the
+    result, ``obs_out["minhash_lsh_drops"].get`` reports
+    ``dropped_tokens``/``max_df``. A non-zero drop count with a large
+    ``max_df`` AFTER exact_dedup signals a near-dup mega-cluster whose
+    pairs were lost — raise ``bucket_cap`` or handle that cluster out
+    of band."""
     sigs = minhash_signatures(df, text_col, id_col)
-    cand, _obs = minhash_lsh_candidates(sigs, id_col, bucket_cap=bucket_cap)
+    cand, obs = minhash_lsh_candidates(sigs, id_col, bucket_cap=bucket_cap)
+    if obs_out is not None and obs is not None:
+        obs_out["minhash_lsh_drops"] = obs
     return jaccard_verify(df, cand, text_col, id_col, threshold)
 
 
 def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                   threshold: float = 0.5, bucket_cap: int | None = 512) -> DataFrame:
+                   threshold: float = 0.5, bucket_cap: int | None = 512,
+                   obs_out: dict[str, "DropObservation"] | None = None) -> DataFrame:
     """End-to-end web-scale dedup keeper assignment — the composition the
     bucket-cap contract requires, as one tested unit:
 
@@ -291,6 +354,11 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     3. Exact edges (keeper -> copy) union the verified near-dup edges
        into one graph; ``propagate_min_keeper`` assigns every doc the
        component-min id.
+
+    Step 1 removes byte-identical mega-clusters, but a large NEAR-dup
+    cluster (templated pages differing by a counter) still overflows
+    the cap in step 2 and its pairs are dropped; pass ``obs_out`` to
+    observe the drop count (see ``minhash_dedup``).
 
     Returns (id, keep_id, is_dup). Shuffle count: one for the exact
     fingerprint window, one for the MinHash signature groupBy, one for
@@ -307,7 +375,8 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .where(F.col(id_col) == F.col("_k0"))
         .drop("_k0")
     )
-    near = minhash_dedup(keepers, text_col, id_col, threshold, bucket_cap)
+    near = minhash_dedup(keepers, text_col, id_col, threshold, bucket_cap,
+                         obs_out=obs_out)
     exact_edges = ex.where(F.col("is_dup")).select(
         F.col("keep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )
@@ -348,7 +417,8 @@ def _chunk_widths(n_chunks: int, total_bits: int = 64) -> list[int]:
 
 def simhash_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
                   n_chunks: int = 5,
-                  bucket_cap: int | None = 512) -> DataFrame:
+                  bucket_cap: int | None = 512,
+                  obs_out: dict[str, "DropObservation"] | None = None) -> DataFrame:
     """Near-dup pairs by hamming distance <= k, banded on 2-chunk
     COMBINATIONS of ``n_chunks`` bit-chunks.
 
@@ -361,11 +431,14 @@ def simhash_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 
     pruning around 10^7 docs.
 
     Candidates route through the capped grouped expansion (one shuffle;
-    buckets larger than ``bucket_cap`` dropped, which at web scale means
-    exact-duplicate clusters — collapse those with ``exact_dedup`` first,
-    as for MinHash). The simhash rides the expansion as a payload so the
-    hamming check runs inline on pair rows — no re-join of the hash
-    table.
+    buckets larger than ``bucket_cap`` dropped). Exact-duplicate
+    clusters overflow every band — collapse those with ``exact_dedup``
+    first, as for MinHash — but so do large NEAR-duplicate clusters
+    that exact_dedup cannot collapse; pass ``obs_out`` to observe the
+    drop count (``obs_out["simhash_band_drops"].get`` after an action)
+    rather than losing their pairs invisibly. The simhash rides the
+    expansion as a payload so the hamming check runs inline on pair
+    rows — no re-join of the hash table.
     """
     if n_chunks < max_hamming + 2:
         raise ValueError(
@@ -389,9 +462,11 @@ def simhash_pairs(hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 
                       for ci, (i, j) in enumerate(combos)])
         ).alias("bb"),
     )
-    pairs, _obs = grouped_pair_expansion(
+    pairs, obs = grouped_pair_expansion(
         toks, id_col=id_col, tok_col="bb", df_cap=bucket_cap, payload_col="simhash"
     )
+    if obs_out is not None and obs is not None:
+        obs_out["simhash_band_drops"] = obs
     # hamming filter BEFORE the distinct: most candidates fail it, so the
     # dedup shuffle carries only true near-dups
     return (

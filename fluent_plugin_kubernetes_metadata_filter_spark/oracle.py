@@ -554,10 +554,12 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
     q["pricing_summary"] = """
+-- emitted columns are exact scaled BIGINTs (cents / basis points):
+-- decimal128 does not survive the driver's Arrow hash canonicalization
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c100,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_c100,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_bp,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-03'
@@ -565,7 +567,7 @@ GROUP BY 1, 2"""
 
     q["order_revenue"] = """
 SELECT o_orderkey, o_orderdate,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_bp
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

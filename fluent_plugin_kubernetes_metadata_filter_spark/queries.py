@@ -730,7 +730,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf>=1, so the physical plan is a genuine shuffle (sort-merge) join.
 # All money math is per-row-double -> DECIMAL before SUM: decimal sums
 # are exact and associative, so results are bit-stable regardless of
-# partial-aggregation order on either engine.
+# partial-aggregation order on either engine. The EMITTED columns are
+# exact scaled BIGINTs (cents / basis points), never DECIMAL: the
+# driver's value hasher canonicalizes Arrow scalars and decimal128
+# does not survive it (same class as DuckDB's HUGEINT in
+# events_sessionize) — driver-hashed queries emit only
+# BIGINT/DOUBLE/VARCHAR/TIMESTAMP. The decimal sum is integral at the
+# chosen scale, so x100/x10^4 then CAST AS BIGINT is lossless.
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary (TPC-H Q1 flavor): scan-bound groupBy with
@@ -744,9 +750,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("sum_qty_c100"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("sum_base_price_c100"),
+            (F.sum(disc_price) * 10000).cast("bigint").alias("sum_disc_price_bp"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -771,7 +779,7 @@ def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate") >= F.lit("1998-06-02").cast("timestamp_ntz"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg((F.sum(revenue) * 10000).cast("bigint").alias("revenue_bp"))
     )
 
 

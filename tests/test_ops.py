@@ -83,6 +83,71 @@ def test_grouped_pair_expansion_df_cap(spark):
     assert all_pairs.count() == 45 + 1
 
 
+def test_grouped_pair_expansion_drops_before_collect(spark):
+    """Over-cap tokens must be removed BEFORE the collect_list, not
+    after: the executed plan carries a broadcast LEFT ANTI join against
+    the hot-token set, so a mega-bucket never materializes its full
+    doc list (plus payload) in one aggregation buffer just to be
+    filtered out. Results are unchanged vs the post-filter formulation
+    and the payload still rides through for the surviving pairs."""
+    rows = [(d, "hot", d * 11) for d in range(10)] + [(1, "rare", 11), (2, "rare", 22)]
+    toks = spark.createDataFrame(rows, "doc_id long, tok string, pl long")
+    pairs, obs = dedup.grouped_pair_expansion(toks, df_cap=5, payload_col="pl")
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    got = {(r.id_a, r.id_b, r.payload_a, r.payload_b) for r in pairs.collect()}
+    assert got == {(1, 2, 11, 22)}
+    assert obs.get["dropped_tokens"] == 1 and obs.get["max_df"] == 10
+
+
+def test_entry_points_expose_drop_observation(spark):
+    """The public entry points must not swallow the cap's drop count: a
+    near-dup mega-cluster (NOT byte-identical, so exact_dedup keeps all
+    members) that overflows every band is reported via obs_out."""
+    # 12 near-identical docs (one trailing counter token differs) + a pair
+    cluster = [(d, f"the same templated page body repeated verbatim copy {d}")
+               for d in range(12)]
+    pair = [(100, "a rare and unusual pairing of words here"),
+            (101, "a rare and unusual pairing of words here")]
+    docs = spark.createDataFrame(cluster + pair, "doc_id long, text string")
+
+    obs_out = {}
+    out = dedup.dedup_pipeline(docs, threshold=0.3, bucket_cap=5, obs_out=obs_out)
+    out.collect()
+    drops = obs_out["minhash_lsh_drops"].get
+    assert drops["dropped_tokens"] > 0 and drops["max_df"] > 5
+
+    # simhash: 12 distinct docs whose hashes collide exactly (an
+    # extreme near-dup cluster) -> every combo band overflows cap 5
+    obs_out = {}
+    hashes = spark.createDataFrame(
+        [(d, 0x5A5A_1234_ABCD_0F0F) for d in range(12)] + [(100, 0x1111), (101, 0x1111)],
+        "doc_id long, simhash long",
+    )
+    pairs = dedup.simhash_pairs(hashes, max_hamming=3, bucket_cap=5, obs_out=obs_out)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    drops = obs_out["simhash_band_drops"].get
+    assert drops["dropped_tokens"] > 0 and drops["max_df"] == 12
+
+
+def test_drop_observation_reports_zero_when_nothing_dropped(spark):
+    """With no over-cap token the hot set is empty; AQE's empty-relation
+    propagation must not eliminate the CollectMetrics node with the
+    anti-join — obs.get returns zeros instead of raising on an
+    unobserved (empty) row."""
+    toks = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (3, "t2"), (4, "t2")], "doc_id long, tok string"
+    )
+    pairs, obs = dedup.grouped_pair_expansion(toks, df_cap=5)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2), (3, 4)}
+    # empty hot set -> join eliminated -> metrics node gone; the wrapper
+    # turns that proof-of-zero-drops into zeros instead of raising
+    assert obs.get == {"dropped_tokens": 0, "max_df": None}
+
+
 def test_minhash_lsh_bucket_cap_bounds_dup_cluster(spark):
     """An exact-duplicate mega-cluster shares ALL bands; with bucket_cap
     below the cluster size its buckets are dropped (observable) instead
