@@ -4,6 +4,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 The headline metric is end-to-end enrich+route throughput in turns/sec
 (BASELINE.json): full parse -> enrich -> fan-out write -> per-sink
 counts over the transcripts table.
+
+Noise protocol: this VM drifts +-20-40% hour-to-hour, so a single shot
+per query is noise-dominated (the round-3 headline "regressed" 10.5% on
+code that had not changed). The query list runs $SPARK_GRAFT_BENCH_TRIALS
+times (default 2) INTERLEAVED — pass 1 of every query, then pass 2 — and
+each query reports its per-trial MINIMUM: contention only ever adds
+time, so min is the least-biased estimator, and interleaving keeps a
+drift window from poisoning one whole trial. Same protocol as
+bench_scaling.py.
 """
 
 from __future__ import annotations
@@ -19,61 +28,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
 
 
-def bench(spark, sf_dir):
+def query_list(spark, sf_dir):
+    """(name, thunk) per headline query; each thunk executes one full
+    job (collect for small results, noop write for wide ones)."""
     from fluent_plugin_kubernetes_metadata_filter_spark import pipeline, queries as q
-    from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
+    from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
 
-    timings = {}
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def run_routed(cfg=PipelineConfig()):
+        out = tempfile.mkdtemp(prefix="bench-routed-")
+        try:
+            pipeline.run(spark, sf_dir, out_dir=out, cfg=cfg).collect()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    return [
+        ("enrich_route_write", lambda: run_routed()),
+        # single-exchange layout (route_exchange=False): the
+        # scale-friendly physical plan at this sink count — same written
+        # content, one shuffle
+        ("enrich_route_write_direct",
+         lambda: run_routed(PipelineConfig(route_exchange=False))),
+        ("enrich_flat", lambda: noop(q.q_enrich_flat(spark, sf_dir))),
+        ("route_counts", lambda: q.q_route_counts(spark, sf_dir).collect()),
+        ("parse_containers", lambda: noop(q.q_parse_containers(spark, sf_dir))),
+        ("stable_order", lambda: noop(q.q_stable_order(spark, sf_dir))),
+        ("per_conv_stats", lambda: noop(q.q_per_conv_stats(spark, sf_dir))),
+        ("dedup_exact", lambda: noop(q.q_dedup_exact(spark, sf_dir))),
+        ("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect()),
+        ("dedup_keepers", lambda: noop(q.q_dedup_keepers(spark, sf_dir))),
+        ("dedup_pipeline", lambda: noop(q.q_dedup_pipeline(spark, sf_dir))),
+        ("media_features", lambda: noop(q.q_media_features(spark, sf_dir))),
+        ("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect()),
+        ("simhash", lambda: noop(q.q_simhash(spark, sf_dir))),
+        ("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect()),
+        ("ann_topk", lambda: q.q_ann_topk(spark, sf_dir).collect()),
+        ("ann_topk_gemm", lambda: q.q_ann_topk_gemm(spark, sf_dir).collect()),
+        # shuffle-join scaling probes over the TPC-H relations (not
+        # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
+        ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),
+        ("order_revenue", lambda: noop(q.q_order_revenue(spark, sf_dir))),
+    ]
+
+
+def bench(spark, sf_dir, trials=TRIALS):
+    from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
 
     # warm the dim/aux generation + JVM before timing
     n_turns = load_table(spark, sf_dir, "transcripts").count()
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
-    out = tempfile.mkdtemp(prefix="bench-routed-")
-    try:
-        timed("enrich_route_write", lambda: pipeline.run(spark, sf_dir, out_dir=out).collect())
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    # single-exchange layout (route_exchange=False): the scale-friendly
-    # physical plan at this sink count — same written content, one shuffle
-    from fluent_plugin_kubernetes_metadata_filter_spark.config import PipelineConfig
-
-    out2 = tempfile.mkdtemp(prefix="bench-routed-direct-")
-    try:
-        timed(
-            "enrich_route_write_direct",
-            lambda: pipeline.run(
-                spark, sf_dir, out_dir=out2, cfg=PipelineConfig(route_exchange=False)
-            ).collect(),
-        )
-    finally:
-        shutil.rmtree(out2, ignore_errors=True)
-    timed("enrich_flat", lambda: q.q_enrich_flat(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("route_counts", lambda: q.q_route_counts(spark, sf_dir).collect())
-    timed("parse_containers", lambda: q.q_parse_containers(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("stable_order", lambda: q.q_stable_order(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("per_conv_stats", lambda: q.q_per_conv_stats(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("dedup_exact", lambda: q.q_dedup_exact(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect())
-    timed("dedup_keepers", lambda: q.q_dedup_keepers(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("dedup_pipeline", lambda: q.q_dedup_pipeline(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("media_features", lambda: q.q_media_features(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect())
-    timed("simhash", lambda: q.q_simhash(spark, sf_dir).write.format("noop").mode("overwrite").save())
-    timed("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect())
-    timed("ann_topk", lambda: q.q_ann_topk(spark, sf_dir).collect())
-    timed("ann_topk_gemm", lambda: q.q_ann_topk_gemm(spark, sf_dir).collect())
-    # shuffle-join scaling probes over the TPC-H relations (not
-    # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
-    timed("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect())
-    timed("order_revenue", lambda: q.q_order_revenue(spark, sf_dir).write.format("noop").mode("overwrite").save())
-
+    qs = query_list(spark, sf_dir)
+    timings: dict[str, float] = {}
+    for _trial in range(trials):
+        for name, fn in qs:
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
     return n_turns, timings
 
 
@@ -94,6 +110,8 @@ def main():
                 "queries": timings,
                 "total_sec": round(total, 3),
                 "n_turns": n_turns,
+                "n_trials": TRIALS,
+                "estimator": "min-per-query over interleaved trials",
                 "cpus": int(CPUS),
                 "sf": SF_DIR,
             }
