@@ -387,20 +387,50 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 # ----------------------------------------------------------- SimHash
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              token_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over token hashes, expression-only: explode tokens,
-    per-bit +-1 sums in ONE groupBy, reassemble the sign bits."""
+    per-bit +-1 sums in ONE groupBy, reassemble the sign bits.
+
+    ``token_hash`` picks the 64-bit per-token hash:
+
+    - ``"xxhash64"`` (default): Spark's native xxhash64 — the fast
+      production path (one JVM hash per token).
+    - ``"md5"``: two 32-bit halves of md5(token), bit-identical to what
+      DuckDB computes from the same text — the driver's correctness
+      gate uses this variant so an independent engine can recompute the
+      simhash VALUES and brute-force all-pairs hamming as an oracle
+      (xxhash64 has no DuckDB equivalent). ~2-3x more hash cost; the
+      banding/expansion/verify machinery downstream is byte-identical
+      code for both variants.
+    """
     toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("t")
     )
-    h = F.xxhash64(F.col("t"))
+    if token_hash == "xxhash64":
+        # single 64-bit hash; project it once so the 64 aggregates
+        # below reference a column, not 64 copies of the hash expr
+        hashed = toks.select(
+            F.col(id_col), F.xxhash64(F.col("t")).alias("hlo")
+        )
+        bit = lambda i: F.shiftright(F.col("hlo"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    elif token_hash == "md5":
+        m = F.md5(F.col("t"))
+        hashed = toks.select(
+            F.col(id_col),
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hlo"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hhi"),
+        )
+        bit = lambda i: F.shiftright(  # noqa: E731
+            F.col("hlo") if i < 32 else F.col("hhi"), i % 32
+        ).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ]
-    per_bit = toks.groupBy(id_col).agg(*aggs)
+    per_bit = hashed.groupBy(id_col).agg(*aggs)
     sim = None
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -435,12 +435,119 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
     return q
 
 
+def _simhash_ctes(source: str = "documents") -> str:
+    """CTE chain recomputing ops/dedup.simhash64(token_hash="md5") from
+    raw text: tokenize (same \\s+ split), md5 halves as two 32-bit
+    hashes (verified bit-identical to Spark's conv(substring(md5..)))),
+    64 sign sums, sign bits reassembled into one int64. Bit 63 adds the
+    min-long literal (1::BIGINT << 63 overflows DuckDB's checked
+    shift); in two's complement that IS setting bit 63."""
+    sums = ",\n         ".join(
+        "SUM(CASE WHEN (({h} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            h="hlo" if i < 32 else "hhi", sh=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    bits = "\n    + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(63)
+    )
+    return f"""
+simtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM {source}
+),
+simh AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS hlo,
+         CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS hhi
+  FROM simtoks
+),
+simbits AS (
+  SELECT doc_id,
+         {sums}
+  FROM simh GROUP BY doc_id
+),
+simsig AS (
+  SELECT doc_id,
+    (CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)
+    + {bits}
+    AS simhash
+  FROM simbits
+)"""
+
+
 def _ops_oracles() -> dict[str, str]:
-    """Oracles for the SQL-expressible ops queries. MinHash/SimHash/LSH
-    queries have NO oracle (xxhash64 has no DuckDB equivalent) — the
-    driver records rows-only checks and the planted-duplicate tests in
-    tests/test_ops.py carry the exactness burden."""
+    """Oracles for the SQL-expressible ops queries. The minhash_pairs
+    and lsh_neardup queries have NO oracle (xxhash64 has no DuckDB
+    equivalent) — the driver records rows-only checks there, and the
+    planted-duplicate tests in tests/test_ops.py plus the value-gated
+    twins (minhash_jaccard_verified, neardup_brute) carry the exactness
+    burden. The simhash queries run the md5 token-hash variant, fully
+    recomputable here (_simhash_ctes)."""
     q: dict[str, str] = {}
+
+    q["simhash"] = f"""
+WITH {_simhash_ctes()}
+SELECT doc_id, simhash FROM simsig"""
+
+    # Independent of the engine's banding: brute-force all-pairs
+    # hamming over the recomputed hashes. Combo banding has recall 1
+    # for hamming <= max_hamming by pigeonhole and no sf0.01 bucket
+    # exceeds the cap, so the engine's banded+capped output must equal
+    # this exactly — a dropped pair fails the value gate.
+    q["simhash_pairs"] = f"""
+WITH {_simhash_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    # LSH-bucketed near-dup, recomputed end-to-end: the 6-decimal plane
+    # literals come from the same _plane_literals the engine compiles
+    # into its expression tree, the 16 sign bits and 8 two-bit bands are
+    # rebuilt in SQL, and candidates are pairs sharing any (band, value)
+    # — the engine's xxhash64 bucket-key folding is a pure shuffle-width
+    # optimization whose collisions could only ADD candidates, and none
+    # occur at this sf. Exact-cosine verify + threshold as in
+    # neardup_brute (whose oracle already pins the float dot math).
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import (
+        _plane_literals,
+    )
+
+    planes = _plane_literals(dim=64, n_planes=16)
+    sig_terms = "\n    + ".join(
+        "(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN (1::BIGINT << {i}) ELSE 0 END)".format(
+            lits=", ".join(repr(float(x)) for x in p), i=i
+        )
+        for i, p in enumerate(planes)
+    )
+    q["lsh_neardup"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v, nrm,
+    {sig_terms}
+    AS lsh_sig
+  FROM b
+),
+bands AS (
+  SELECT vec_id, t.i AS band, (lsh_sig >> (CAST(t.i AS INT) * 2)) & 3 AS bv
+  FROM sig CROSS JOIN range(8) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.vec_id < c.vec_id
+),
+p AS (
+  SELECT id_a, id_b,
+         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS raw_sim
+  FROM cand JOIN sig x ON cand.id_a = x.vec_id JOIN sig y ON cand.id_b = y.vec_id
+)
+SELECT id_a, id_b, floor(raw_sim * 10000) / 10000 AS sim
+FROM p WHERE raw_sim >= 0.2"""
 
     q["neardup_brute"] = """
 WITH b AS (

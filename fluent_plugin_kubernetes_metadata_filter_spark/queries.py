@@ -494,10 +494,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out, k=10)
 
 
-# ------------------------------- ops queries (LSH/minhash: rows-only —
-# xxhash64-based hashing has no DuckDB equivalent, so the driver records
-# the weaker rows-only check; the *verified* outputs are exact-tested in
-# tests/test_ops.py against planted duplicates)
+# ------------------------------- ops queries. Only minhash_pairs is
+# rows-only (xxhash64 banding has no DuckDB equivalent); its verified
+# output is value-gated via the minhash_jaccard_verified twin and
+# exact-tested against planted duplicates in tests/test_ops.py. The
+# simhash queries run the md5 token-hash variant and lsh_neardup's
+# planes/bands are recomputed in SQL, so those are fully oracle-gated.
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with exact Jaccard verification."""
@@ -523,21 +525,31 @@ def q_minhash_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (deterministic; rows-only check)."""
+    """64-bit SimHash per document, VALUE-checked: runs the md5
+    token-hash variant, which DuckDB recomputes bit-identically from
+    the same text (tokenize -> per-token md5 halves -> 64 sign sums ->
+    reassembled int64). The xxhash64 production default shares every
+    line of machinery except the leaf hash expression and stays pinned
+    by the determinism/pigeonhole tests in tests/test_ops.py."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dd.simhash64(docs)
+    return dd.simhash64(docs, token_hash="md5")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via 2-chunk combo banding
-    and the capped grouped expansion (deterministic; rows-only check —
-    xxhash64 banding has no DuckDB equivalent)."""
+    and the capped grouped expansion, VALUE-checked: the oracle
+    brute-forces all-pairs bit_count(xor) <= 3 over DuckDB-recomputed
+    simhash values (md5 token-hash variant), independent of the
+    banding — pigeonhole banding has recall 1 for hamming <= 3 by
+    construction and no sf0.01 bucket exceeds the cap, so engine and
+    brute force must agree EXACTLY; a silently dropped pair fails the
+    gate."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dd.simhash_pairs(dd.simhash64(docs))
+    return dd.simhash_pairs(dd.simhash64(docs, token_hash="md5"))
 
 
 def q_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,8 +573,12 @@ def q_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup (subset of q_neardup_brute;
-    rows-only — recall tested against the exact baseline in tests)."""
+    """LSH-bucketed embedding near-dup (subset of q_neardup_brute),
+    VALUE-checked: the oracle rebuilds the 16 sign bits from the same
+    6-decimal plane literals, buckets on (band, 2-bit value) — the
+    engine's xxhash64 key folding is shuffle-width optimization only —
+    and verifies exact cosine; recall vs the exact baseline is also
+    tested in tests/test_ops.py."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import embedding_neardup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -631,8 +647,8 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score + component ratios (rows-only; component
-    ratios are oracle-checked separately in q_quality)."""
+    """Composite quality score + component ratios (oracle-gated via
+    _quality_full_oracle; fixed-point floors on the float ratios)."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
