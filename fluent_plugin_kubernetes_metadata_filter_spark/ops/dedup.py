@@ -76,9 +76,17 @@ def _content_fingerprint(text_col: str) -> F.Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on the normalized content hash; keeper = min id."""
-    d = df.select(id_col, _content_fingerprint(text_col).alias("fingerprint"))
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                fingerprint: F.Column | None = None) -> DataFrame:
+    """Exact dedup on a content fingerprint; keeper = min id per group
+    (one window shuffle on the fingerprint — no join).
+
+    ``fingerprint`` overrides the default whole-text normalized-content
+    hash, e.g. a head fingerprint over the first k tokens for
+    prefix-dedup of boilerplate-led corpora."""
+    if fingerprint is None:
+        fingerprint = _content_fingerprint(text_col)
+    d = df.select(id_col, fingerprint.alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
     return d.select(
         id_col,

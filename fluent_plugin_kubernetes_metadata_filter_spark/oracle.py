@@ -498,7 +498,7 @@ SELECT doc_id, simhash FROM simsig"""
     q["simhash_pairs"] = f"""
 WITH {_simhash_ctes()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 

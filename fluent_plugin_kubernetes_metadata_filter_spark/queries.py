@@ -258,20 +258,16 @@ def q_per_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- training-data ops (documents)
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact/head dedup: md5 fingerprint of the first 8 normalized tokens;
-    keeper = min doc_id per group (hash-groupBy dedup at scale)."""
+    """Exact/head dedup via ops.dedup.exact_dedup with a head
+    fingerprint (md5 of the first 8 normalized tokens) — the query
+    exercises the op rather than re-implementing the window."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import exact_dedup
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fp = F.md5(
         F.array_join(F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 8), " ")
     )
-    d = docs.select("doc_id", fp.alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return d.select(
-        "doc_id",
-        "fingerprint",
-        F.min("doc_id").over(w).alias("keep_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
-    )
+    return exact_dedup(docs, fingerprint=fp)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

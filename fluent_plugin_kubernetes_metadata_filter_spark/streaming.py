@@ -106,8 +106,13 @@ class WatchStats:
                       sum(1 for k in cur if k not in prev))
             self.bump(f"{kind}_cache_watch_updates",
                       sum(1 for k, h in cur.items() if k in prev and prev[k] != h))
-            self.bump(f"{kind}_cache_rows_removed",
-                      sum(1 for k in prev if k not in cur))
+            removed = sum(1 for k in prev if k not in cur)
+            self.bump(f"{kind}_cache_rows_removed", removed)
+            # reference vocabulary (watch_pods.rb:186): under the
+            # snapshot loader a vanished row ages out rather than being
+            # delete-ignored, but consumers keyed to the reference
+            # counter name must still see the event — emit both names.
+            self.bump(f"{kind}_cache_watch_delete_ignored", removed)
         self._prev[kind] = cur
 
 

@@ -50,6 +50,16 @@ def ensure_probe_data() -> None:
 
     spark = build_session(app="join-probe-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+    # replica key ranges must be disjoint, or the probe silently
+    # measures a skewed join with wrong output cardinality
+    max_ok = (
+        spark.read.parquet(f"{SRC}/orders.parquet")
+        .agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    assert max_ok < KEY_OFFSET, (
+        f"max o_orderkey {max_ok} >= KEY_OFFSET {KEY_OFFSET}: raise "
+        f"KEY_OFFSET above the source's key range ({SRC})"
+    )
     rep = spark.range(REPLICAS).select(F.col("id").alias("_r"))
     li = spark.read.parquet(f"{SRC}/lineitem.parquet").crossJoin(rep)
     li = li.withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * KEY_OFFSET).drop("_r")

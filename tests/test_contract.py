@@ -30,3 +30,32 @@ def test_queries_are_callables_with_uniform_signature():
     for name, fn in e.queries().items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, (name, params)
+
+
+def test_oracle_outputs_use_only_hashable_types():
+    """The driver's value hasher canonicalizes Arrow scalars;
+    DECIMAL128 (round 3: pricing_summary) and HUGEINT (round 2:
+    events_sessionize) silently hash-mismatch even when every value is
+    equal. Sweep every oracle's DuckDB DESCRIBE output and reject any
+    type outside the proven-green set — catching the next implicit
+    widening at test time instead of in CORRECTNESS_r{N}."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+               "TIMESTAMP", "TIMESTAMP_NS"}
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        types = con.execute(f"DESCRIBE ({sql})").fetchall()
+        offending = {c: ty for c, ty, *_ in types if ty not in allowed}
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracle outputs with non-hashable types: {bad}"

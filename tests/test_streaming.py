@@ -121,6 +121,9 @@ def test_watch_stats_counters(spark, tmp_path):
     assert c["pod_cache_host_updates"] == n_pods  # initial list load
     assert c["pod_cache_watch_updates"] >= 1      # MODIFIED analogue
     assert c["pod_cache_rows_removed"] >= 1
+    # reference counter name (watch_pods.rb:186) mirrors the removal so
+    # parity consumers keyed to it still see the event
+    assert c["pod_cache_watch_delete_ignored"] == c["pod_cache_rows_removed"]
     assert c["namespace_cache_host_updates"] == ns0.count()
     assert "namespace_cache_watch_updates" not in c  # ns dim unchanged
 
