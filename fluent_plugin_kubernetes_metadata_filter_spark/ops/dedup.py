@@ -110,14 +110,31 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n_perm: int = N_PERM, seed: int = 42) -> DataFrame:
+                       n_perm: int = N_PERM, seed: int = 42,
+                       shingle_hash: str = "xxhash64") -> DataFrame:
     """(id, sig: array<bigint>[n_perm]) via explode + single groupBy with
-    n_perm min-aggregates (one shuffle, map-side combined)."""
+    n_perm min-aggregates (one shuffle, map-side combined).
+
+    ``shingle_hash`` picks the 31-bit base hash the permutations act on:
+    ``"xxhash64"`` (default, folded mod 2^31-1) is the production fast
+    path; ``"md5"`` (first 8 hex chars of md5(shingle), mod 2^31-1) is
+    bit-identical to what DuckDB computes from the same text, so the
+    driver's correctness gate can recompute full signatures — and the
+    banding built on them — in SQL. Everything downstream of the base
+    hash is shared code."""
     a, b = _perm_params(n_perm, seed)
     df = _spread(df, id_col)
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
-    # 31-bit shingle hash (xxhash64 folded) keeps a*h+b inside int64
-    h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
+    # 31-bit shingle hash keeps a*h+b inside int64
+    if shingle_hash == "xxhash64":
+        h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
+    elif shingle_hash == "md5":
+        h = F.pmod(
+            F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long"),
+            F.lit(_MERSENNE),
+        )
+    else:
+        raise ValueError(f"unknown shingle_hash: {shingle_hash!r}")
     aggs = [
         F.min(F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"m{i}")
         for i in range(n_perm)
@@ -182,18 +199,16 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
 
 
 class DropObservation:
-    """Drop metrics for the capped pair expansion, robust to AQE.
+    """Drop metrics for the capped pair expansion.
 
-    Wraps the ``Observation`` attached to the hot-token count pass.
-    When zero tokens exceed the cap, the hot set is empty and AQE's
-    empty-relation propagation replaces the broadcast LEFT ANTI join
-    with its left child — removing the CollectMetrics node from the
-    final plan, so the raw observation row comes back EMPTY (and
-    ``Observation.get`` would raise deep in Py4J). That elimination
-    only fires when the build side is empty or all-NULL, i.e. exactly
-    when nothing was dropped — so an empty row IS the zero-drop proof,
-    and ``get`` reports it as ``{"dropped_tokens": 0, "max_df": None}``
-    (``max_df`` was not measured; it is <= the cap by construction).
+    Wraps the ``Observation`` attached to the per-token window-count
+    rows. ``get`` normalizes the raw metrics: on an empty input the
+    aggregates come back NULL (reported as zero drops), and the
+    empty-row guard is kept defensively — if an optimizer rule ever
+    removes the CollectMetrics node from the executed plan (round 4:
+    AQE's empty-relation propagation did exactly that to a
+    broadcast-anti formulation of the cap), an empty row reads as zero
+    drops instead of raising deep in Py4J.
 
     Like ``Observation.get``, ``get`` waits for the first action on the
     consuming DataFrame.
@@ -207,7 +222,9 @@ class DropObservation:
         jrow = self._obs._jo.getRow()  # blocks until the first action
         if jrow.length() == 0:
             return {"dropped_tokens": 0, "max_df": None}
-        return self._obs.get
+        d = self._obs.get
+        return {"dropped_tokens": int(d["dropped_tokens"] or 0),
+                "max_df": d["max_df"]}
 
 
 def grouped_pair_expansion(
@@ -235,13 +252,16 @@ def grouped_pair_expansion(
     gains ``payload_a``/``payload_b`` columns — instead of re-joining
     the doc table twice (two extra shuffles at corpus width).
 
-    Over-cap tokens are removed BEFORE the collect_list, not after: a
-    count pass finds hot tokens and a broadcast anti-join drops their
-    rows, so a 10^7-member hot bucket never materializes a multi-GB
-    aggregation buffer (plus payload width) in one task just to be
-    filtered out. The hot set is at most |toks|/df_cap tokens and
-    zipf-concentrated in practice, so it broadcasts. Costs one extra
-    map-side-combined shuffle of the narrow (token) projection.
+    Over-cap tokens are removed BEFORE the collect_list, not after,
+    via a per-token window count that SHARES the collect's exchange:
+    one hash partition by token, a window count + row-number (one
+    WindowExec, disk-spillable per group), the cap filter, then the
+    collect aggregate runs on the already-partitioned survivors with no
+    further exchange. A 10^7-member hot bucket therefore never reaches
+    a collect_list buffer (those arrays cannot spill), and — unlike a
+    separate count pass — the expensive upstream of ``toks`` (e.g. the
+    MinHash signature aggregation) executes exactly ONCE. Total plan:
+    one exchange, plan-asserted in tests.
     """
     if payload_col is None:
         collected = F.collect_list(id_col)
@@ -249,18 +269,23 @@ def grouped_pair_expansion(
         collected = F.collect_list(F.struct(F.col(id_col), F.col(payload_col)))
     obs: DropObservation | None = None
     if df_cap is not None:
+        wspec = Window.partitionBy(tok_col).orderBy(id_col)
+        frame = wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         raw = Observation()
-        counts = (
-            toks.groupBy(tok_col)
-            .agg(F.count(F.lit(1)).alias("df"))
+        toks = (
+            toks.withColumn("_df", F.count(F.lit(1)).over(frame))
+            .withColumn("_rn", F.row_number().over(wspec))
             .observe(
                 raw,
-                F.count(F.when(F.col("df") > df_cap, 1)).alias("dropped_tokens"),
-                F.max("df").alias("max_df"),
+                # first row of each over-cap token group counts it once
+                F.count(
+                    F.when((F.col("_df") > df_cap) & (F.col("_rn") == 1), 1)
+                ).alias("dropped_tokens"),
+                F.max("_df").alias("max_df"),
             )
+            .where(F.col("_df") <= df_cap)
+            .drop("_df", "_rn")
         )
-        hot = counts.where(F.col("df") > df_cap).select(tok_col)
-        toks = toks.join(F.broadcast(hot), tok_col, "left_anti")
         obs = DropObservation(raw)
     groups = (
         # ids are unique, so sorting structs (id first) orders by id
@@ -323,7 +348,8 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.5, bucket_cap: int | None = 512,
-                  obs_out: dict[str, "DropObservation"] | None = None) -> DataFrame:
+                  obs_out: dict[str, "DropObservation"] | None = None,
+                  shingle_hash: str = "xxhash64") -> DataFrame:
     """Full MinHash+LSH near-dup pipeline -> verified pairs.
 
     ``bucket_cap`` bounds per-bucket pair expansion (see
@@ -338,7 +364,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``max_df`` AFTER exact_dedup signals a near-dup mega-cluster whose
     pairs were lost — raise ``bucket_cap`` or handle that cluster out
     of band."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, shingle_hash=shingle_hash)
     cand, obs = minhash_lsh_candidates(sigs, id_col, bucket_cap=bucket_cap)
     if obs_out is not None and obs is not None:
         obs_out["minhash_lsh_drops"] = obs

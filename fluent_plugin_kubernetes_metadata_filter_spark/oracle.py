@@ -435,6 +435,46 @@ SELECT query_id, cand_id, sim, rank FROM r WHERE rank <= 10"""
     return q
 
 
+def _minhash_ctes(source: str = "documents") -> str:
+    """CTE chain recomputing ops/dedup.minhash_signatures(
+    shingle_hash="md5") plus the 16x4 LSH banding from raw text. Builds
+    on _jaccard_ctes' sh CTE (the one shingle definition): 31-bit base
+    hash = first 8 md5 hex chars mod 2^31-1 (bit-identical to Spark's
+    conv(substring(md5..))), then the 64 affine-permutation mins with
+    the SAME a/b coefficients the engine compiles in, then band rows as
+    4-element list slices — candidates are pairs sharing any band."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _MERSENNE,
+        _perm_params,
+    )
+
+    a, b = _perm_params()
+    mins = ",\n         ".join(
+        f"MIN((h * {int(a[i])} + {int(b[i])}) % {_MERSENNE}) AS m{i}"
+        for i in range(64)
+    )
+    siglist = ", ".join(f"m{i}" for i in range(64))
+    return f"""hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) % {_MERSENNE} AS h
+  FROM sh
+),
+msig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hh GROUP BY doc_id
+),
+mbands AS (
+  SELECT doc_id, t.i AS band,
+         list_slice([{siglist}], CAST(t.i * 4 + 1 AS INT), CAST(t.i * 4 + 4 AS INT)) AS bv
+  FROM msig CROSS JOIN range(16) t(i)
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM mbands a JOIN mbands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+)"""
+
+
 def _simhash_ctes(source: str = "documents") -> str:
     """CTE chain recomputing ops/dedup.simhash64(token_hash="md5") from
     raw text: tokenize (same \\s+ split), md5 halves as two 32-bit
@@ -485,6 +525,14 @@ def _ops_oracles() -> dict[str, str]:
     burden. The simhash queries run the md5 token-hash variant, fully
     recomputable here (_simhash_ctes)."""
     q: dict[str, str] = {}
+
+    q["minhash_pairs"] = f"""
+WITH {_jaccard_ctes(fallback=True)},
+{_minhash_ctes()}
+SELECT mcand.id_a, mcand.id_b, jac.jaccard
+FROM mcand
+JOIN jac ON jac.id_a = mcand.id_a AND jac.id_b = mcand.id_b
+WHERE jac.raw_j >= 0.5"""
 
     q["simhash"] = f"""
 WITH {_simhash_ctes()}

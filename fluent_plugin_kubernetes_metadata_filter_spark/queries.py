@@ -490,19 +490,26 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_rounded(out, k=10)
 
 
-# ------------------------------- ops queries. Only minhash_pairs is
-# rows-only (xxhash64 banding has no DuckDB equivalent); its verified
-# output is value-gated via the minhash_jaccard_verified twin and
-# exact-tested against planted duplicates in tests/test_ops.py. The
-# simhash queries run the md5 token-hash variant and lsh_neardup's
-# planes/bands are recomputed in SQL, so those are fully oracle-gated.
+# ------------------------------- ops queries — ALL oracle-gated. The
+# LSH/minhash/simhash driver queries run md5 hash variants whose base
+# hash DuckDB recomputes bit-identically from the same text (the
+# xxhash64 production defaults share every downstream line and stay
+# pinned by planted-duplicate and determinism tests in tests/test_ops);
+# lsh_neardup's plane/band machinery is rebuilt in SQL.
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs with exact Jaccard verification."""
+    """MinHash+LSH candidate pairs with exact Jaccard verification,
+    VALUE-checked: runs the md5 shingle-hash variant so the oracle
+    recomputes the full 64-permutation signatures from raw text,
+    replicates the 16x4 banding as a (band, 4-value) join, and verifies
+    exact Jaccard on those candidates — no LSH-recall assumption; a pair
+    the engine's banding+cap machinery loses or invents fails the gate.
+    The xxhash64 production default shares all downstream code and is
+    exercised by dedup_pipeline and the planted-duplicate tests."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup as dd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dd.minhash_dedup(docs, threshold=0.5)
+    pairs = dd.minhash_dedup(docs, threshold=0.5, shingle_hash="md5")
     return pairs.select("id_a", "id_b", _fl(F.col("jaccard"), 4).alias("jaccard"))
 
 

@@ -79,11 +79,16 @@ class WatchStats:
 
     Snapshot fingerprints are one md5 per dim row — dims are
     broadcast-small by design (enrich.py scale notes), so the collect is
-    O(dim), not O(stream)."""
+    O(dim), not O(stream). ``fingerprint_max_rows`` guards the contract:
+    a dim that outgrows it (no longer broadcast-small; per-row diffing
+    would OOM the driver) skips the diff for that batch and bumps
+    ``{kind}_cache_fingerprint_skipped`` instead of collecting —
+    enrichment itself is unaffected."""
 
-    def __init__(self) -> None:
+    def __init__(self, fingerprint_max_rows: int = 100_000) -> None:
         self.counters: dict[str, int] = {}
         self._prev: dict[str, dict] = {"pod": None, "namespace": None}
+        self.fingerprint_max_rows = fingerprint_max_rows
 
     def bump(self, name: str, n: int = 1) -> None:
         if n:
@@ -97,6 +102,10 @@ class WatchStats:
         return {r.k: r.h for r in rows}
 
     def observe(self, kind: str, df: DataFrame, key_cols: list[str]) -> None:
+        if df.count() > self.fingerprint_max_rows:
+            self.bump(f"{kind}_cache_fingerprint_skipped")
+            self._prev[kind] = None  # a later small snapshot restarts clean
+            return
         cur = self._fingerprint(df, key_cols)
         prev = self._prev[kind]
         if prev is None:

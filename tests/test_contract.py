@@ -14,12 +14,11 @@ def test_every_oracle_key_has_a_query():
     queries = set(e.queries())
     oracles = set(e.oracle_sql())
     assert oracles <= queries, oracles - queries
-    # the single remaining rows-only key: minhash_pairs (xxhash64-based
-    # banding, value-gated via its minhash_jaccard_verified twin).
-    # simhash/simhash_pairs run the md5 token-hash variant and
-    # lsh_neardup's planes/bands are recomputed in SQL, so all three
-    # are oracle-gated now.
-    assert queries - oracles == {"minhash_pairs"}
+    # round 4: zero rows-only queries. minhash_pairs/simhash/
+    # simhash_pairs run md5 hash variants DuckDB recomputes
+    # bit-identically, and lsh_neardup's planes/bands are rebuilt in
+    # SQL — every driver query is value-gated.
+    assert queries - oracles == set()
 
 
 def test_queries_are_callables_with_uniform_signature():

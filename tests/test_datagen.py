@@ -69,7 +69,7 @@ def test_driver_contract_shape():
     # documented xxhash-based ones
     assert set(oq) <= set(qs)
     rows_only = set(qs) - set(oq)
-    assert rows_only <= {"minhash_pairs"}, rows_only
+    assert rows_only == set(), rows_only
     import inspect
 
     for name, fn in qs.items():

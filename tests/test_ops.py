@@ -85,18 +85,25 @@ def test_grouped_pair_expansion_df_cap(spark):
 
 def test_grouped_pair_expansion_drops_before_collect(spark):
     """Over-cap tokens must be removed BEFORE the collect_list, not
-    after: the executed plan carries a broadcast LEFT ANTI join against
-    the hot-token set, so a mega-bucket never materializes its full
-    doc list (plus payload) in one aggregation buffer just to be
-    filtered out. Results are unchanged vs the post-filter formulation
-    and the payload still rides through for the surviving pairs."""
+    after: the plan runs a per-token window count sharing the collect's
+    exchange, with the cap filter between Window and the aggregate — so
+    a mega-bucket never reaches a collect_list buffer (arrays cannot
+    spill; the window can), the upstream of toks executes exactly once,
+    and the whole expansion still costs ONE exchange. Results are
+    unchanged vs the post-filter formulation and the payload still
+    rides through for the surviving pairs."""
+    import re
+
     rows = [(d, "hot", d * 11) for d in range(10)] + [(1, "rare", 11), (2, "rare", 22)]
     toks = spark.createDataFrame(rows, "doc_id long, tok string, pl long")
     pairs, obs = dedup.grouped_pair_expansion(toks, df_cap=5, payload_col="pl")
     plan = pairs._sc._jvm.PythonSQLUtils.explainString(
         pairs._jdf.queryExecution(), "formatted"
     )
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "Window" in plan and "Join" not in plan
+    # single exchange: window + collect aggregate share the token hash
+    # partitioning (numbered plan nodes, not AQE stage echoes)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     got = {(r.id_a, r.id_b, r.payload_a, r.payload_b) for r in pairs.collect()}
     assert got == {(1, 2, 11, 22)}
     assert obs.get["dropped_tokens"] == 1 and obs.get["max_df"] == 10
@@ -134,18 +141,18 @@ def test_entry_points_expose_drop_observation(spark):
 
 
 def test_drop_observation_reports_zero_when_nothing_dropped(spark):
-    """With no over-cap token the hot set is empty; AQE's empty-relation
-    propagation must not eliminate the CollectMetrics node with the
-    anti-join — obs.get returns zeros instead of raising on an
-    unobserved (empty) row."""
+    """With no over-cap token the metrics must still fire and report
+    zero drops plus the measured max_df — the window formulation keeps
+    CollectMetrics on the main path, where no optimizer rule can
+    eliminate it (the round-4 broadcast-anti formulation lost its
+    metrics node to AQE empty-relation propagation exactly in this
+    case, and obs.get raised)."""
     toks = spark.createDataFrame(
         [(1, "t1"), (2, "t1"), (3, "t2"), (4, "t2")], "doc_id long, tok string"
     )
     pairs, obs = dedup.grouped_pair_expansion(toks, df_cap=5)
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2), (3, 4)}
-    # empty hot set -> join eliminated -> metrics node gone; the wrapper
-    # turns that proof-of-zero-drops into zeros instead of raising
-    assert obs.get == {"dropped_tokens": 0, "max_df": None}
+    assert obs.get == {"dropped_tokens": 0, "max_df": 2}
 
 
 def test_minhash_lsh_bucket_cap_bounds_dup_cluster(spark):

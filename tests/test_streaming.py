@@ -211,3 +211,16 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sum(seen2) == 0  # nothing new -> no reprocessing
+
+
+def test_watch_stats_fingerprint_guard(spark):
+    """A dim that outgrows the broadcast-small contract must not be
+    per-row collected: the diff is skipped (counter says so) and a later
+    small snapshot restarts the diff cleanly."""
+    big = spark.range(5).selectExpr("cast(id as string) namespace_name", "'h' host")
+    small = big.limit(2)
+    stats = streaming.WatchStats(fingerprint_max_rows=3)
+    stats.observe("namespace", big, ["namespace_name"])
+    assert stats.counters == {"namespace_cache_fingerprint_skipped": 1}
+    stats.observe("namespace", small, ["namespace_name"])
+    assert stats.counters["namespace_cache_host_updates"] == 2  # clean restart
