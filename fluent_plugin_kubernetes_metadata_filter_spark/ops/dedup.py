@@ -322,10 +322,33 @@ def grouped_pair_expansion(
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs only (never all-pairs)."""
+    """Exact shingle-Jaccard on candidate pairs only (never all-pairs).
+
+    Two shuffle-width controls (the verify join dominated the dedup
+    pipeline's profile before them):
+
+    - shingles are folded to int64 xxhash64 keys before any join —
+      smaller shuffle rows and cheaper compares than 3-word strings; a
+      collision (p ~ |shingles|^2 / 2^64 per doc pair) could only nudge
+      one intersection count, and the per-doc sets are distinct
+      pre-hash;
+    - the shingle table is semi-join-pruned to docs that actually
+      appear in a candidate pair BEFORE the wide (id, shingle) shuffle
+      — candidates cover a small fraction of a web corpus, and AQE
+      broadcasts the candidate-doc set when it is small.
+    """
     sh = _spread(df, id_col).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh")
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
+    docs_in_play = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(docs_in_play, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
