@@ -124,22 +124,61 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     hash is shared code."""
     a, b = _perm_params(n_perm, seed)
     df = _spread(df, id_col)
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
-    # 31-bit shingle hash keeps a*h+b inside int64
+    # 31-bit shingle hash keeps a*h+b inside int64.
+    #
+    # Formulation notes (probe-measured at 320k docs / 16 pinned
+    # cores): explode + 64-min hash-aggregate = 37s; the same with the
+    # base hash inlined into every aggregate = 45s (hash recomputed 64x
+    # per row); a zero-shuffle array-native formulation (array_min over
+    # a transform per permutation) = 44s — higher-order-function
+    # lambdas evaluate interpreted per element, losing more than the
+    # aggregate exchange costs. The explode+groupBy aggregate stays.
     if shingle_hash == "xxhash64":
-        h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE))
+        # string-free fast path: hash the word TRIPLE directly
+        # (xxhash64 chains its arguments) instead of materializing a
+        # 3-word string per shingle — shingle-string allocation cost,
+        # no string bytes through the shuffle. Distinct triples ==
+        # distinct shingle strings, so MinHash semantics are unchanged;
+        # only the (arbitrary) base-hash values differ from the string
+        # formulation.
+        tk = tokenize(F.col(text_col))
+        hashes = F.when(
+            F.size(tk) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 2),
+                    lambda i: F.xxhash64(
+                        F.element_at(tk, i),
+                        F.element_at(tk, i + 1),
+                        F.element_at(tk, i + 2),
+                    ),
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.array_join(tk, " "))))
+        sh = df.select(F.col(id_col), F.explode(hashes).alias("sh"))
+        h = F.pmod(F.col("sh"), F.lit(_MERSENNE))
     elif shingle_hash == "md5":
+        # gate variant: the DuckDB oracle recomputes this from the
+        # shingle STRING, so the string path stays
+        sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
         h = F.pmod(
             F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long"),
             F.lit(_MERSENNE),
         )
     else:
         raise ValueError(f"unknown shingle_hash: {shingle_hash!r}")
+    # project the base hash ONCE: inlining `h` into the aggregates
+    # embeds the hash expression in all n_perm min()s and it is
+    # recomputed per permutation per row (the non-cheap multi-referenced
+    # alias blocks CollapseProject from undoing this)
+    hashed = sh.select(F.col(id_col), h.alias("h"))
     aggs = [
-        F.min(F.pmod(h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"m{i}")
+        F.min(
+            F.pmod(F.col("h") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))
+        ).alias(f"m{i}")
         for i in range(n_perm)
     ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
+    sigs = hashed.groupBy(id_col).agg(*aggs)
     return sigs.select(id_col, F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
 
 

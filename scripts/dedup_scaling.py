@@ -29,7 +29,12 @@ sys.path.insert(0, "/root/repo")
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = os.environ.get("DEDUP_PROBE_DIR", "/root/repo/data/dedupprobe")
-REPLICAS = int(os.environ.get("DEDUP_REPLICAS", "128"))
+# 64x (320k docs) holds the 16-core wall above ~2 min so fixed per-job
+# costs (plan build, stage barriers, label-round driver sync) stay <5%
+# of the measurement — at 32x the optimized job finished in ~60s and
+# those constants depressed measured efficiency to 0.57; 128x exceeded
+# any reasonable trial budget on this box
+REPLICAS = int(os.environ.get("DEDUP_REPLICAS", "64"))
 KEY_OFFSET = 1_000_000
 N_SMALL = int(os.environ.get("SCALE_N", "4"))
 REPEAT = int(os.environ.get("SCALE_REPEAT", "2"))
