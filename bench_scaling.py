@@ -104,8 +104,18 @@ def main():
     }
     print(json.dumps(result))
     if "--update-baseline" in sys.argv:
+        # merge under a round key — a bare overwrite would clobber the
+        # probe results other scripts record in the same file
+        key = os.environ.get("SCALE_RESULT_KEY", "latest_confirmation")
+        data = {}
+        try:
+            with open("/root/repo/BENCH_SCALING.json") as fh:
+                data = json.load(fh)
+        except FileNotFoundError:
+            pass
+        data[key] = result
         with open("/root/repo/BENCH_SCALING.json", "w") as fh:
-            json.dump(result, fh, indent=2)
+            json.dump(data, fh, indent=2)
     return result
 
 
