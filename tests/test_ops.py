@@ -585,3 +585,16 @@ def test_gemm_topk_query_collect_guard(spark, emb):
     c = emb.where("vec_id >= 10")
     with _pytest.raises(ValueError, match="max_queries"):
         similarity.brute_force_topk_gemm(q, c, k=5, max_queries=3)
+
+
+def test_minhash_variants_agree_on_planted_dups(spark, docs_with_dups):
+    """Machinery parity: the md5 gate variant and the xxhash64
+    production variant share every line downstream of the base hash, so
+    both must find every exact-copy pair (identical docs agree on ALL
+    bands whatever the hash) with identical verified Jaccard values."""
+    for variant in ("xxhash64", "md5"):
+        pairs = dedup.minhash_dedup(docs_with_dups, threshold=0.5,
+                                    shingle_hash=variant)
+        got = {(p.id_a, p.id_b): p.jaccard for p in pairs.collect()}
+        for i in range(20):
+            assert got.get((i, i + 10000)) == 1.0, (variant, i)
