@@ -61,14 +61,19 @@ def try_iceberg_table(spark: SparkSession, identifier: str) -> DataFrame | None:
 
 
 def write_routed(df: DataFrame, out_dir: str, route_column: str = "namespace_name",
-                 mode: str = "overwrite") -> None:
+                 mode: str = "overwrite", format: str = "parquet") -> None:
     """Fan-out sink (O4): one directory per route key, like the
     reference's per-tag <match> routing (README.md:104-110). Null route
     keys (passthrough rows) land in the Hive default partition.
 
+    ``format`` is any Spark-bundled columnar/line sink ("parquet"
+    default; "orc" for ORC-based downstream stores; "json" for
+    fluentd-style line consumers — map columns are serialized natively
+    by the JSON sink).
+
     At scale this is the only shuffle-adjacent step — see route.py for
     the salting that precedes it."""
-    df.write.mode(mode).partitionBy(route_column).parquet(out_dir)
+    df.write.mode(mode).partitionBy(route_column).format(format).save(out_dir)
 
 
 TRANSCRIPT_DDL = (
@@ -78,11 +83,15 @@ TRANSCRIPT_DDL = (
 
 def read_transcripts(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
     """Multi-format transcript source (O1). Parquet is the scale path
-    (columnar, pushdown); json/csv cover fluentd-style line ingestion.
+    (columnar, pushdown); ORC is the equivalent columnar path for
+    ORC-resident lakes (same pushdown/pruning, Spark-bundled reader);
+    json/csv cover fluentd-style line ingestion.
     Schema is always explicit — inference is nondeterministic and scans
     the data twice."""
     if format == "parquet":
         return spark.read.parquet(path)
+    if format == "orc":
+        return spark.read.orc(path)
     if format == "json":
         return spark.read.schema(TRANSCRIPT_DDL).json(path)
     if format == "csv":
