@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q.q_simhash_pairs,
         "neardup_brute": q.q_neardup_brute,
         "lsh_neardup": q.q_lsh_neardup,
+        "corpus_curation": q.q_corpus_curation,
+        "token_budget": q.q_token_budget,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

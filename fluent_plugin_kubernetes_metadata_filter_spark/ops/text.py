@@ -104,3 +104,82 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> Da
             "min_shingle_hash": F.array_min(sh),
         }
     )
+
+
+def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           min_quality: float = 0.5, langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """Corpus curation: quality gate -> language gate -> exact-dedup
+    keeper filter, the standard pre-training funnel as one composed
+    operator. Returns the surviving docs with their scores.
+
+    The quality threshold is applied on the 1e-4-floored score — the
+    floored grid is what the correctness gate proves bit-equal across
+    engines, so the cut cannot straddle a float ulp. The dedup stage is
+    the keeper window (one shuffle on the content fingerprint); gates
+    run BEFORE it, so the expensive shuffle sees only surviving rows.
+    """
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+    )
+    from pyspark.sql import Window
+
+    q = quality_score(langid(token_counts(df, text_col), text_col), text_col)
+    q4 = F.floor(F.col("quality_score") * 10000) / 10000
+    kept = q.withColumn("q4", q4).where(
+        (F.col("q4") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    w = Window.partitionBy(_content_fingerprint(text_col))
+    return (
+        kept.withColumn("_k0", F.min(F.col(id_col)).over(w))
+        .where(F.col(id_col) == F.col("_k0"))
+        .select(id_col, "lang_pred", "q4", "n_tokens_ws")
+    )
+
+
+def token_budget(df: DataFrame, budget: int, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Select the best docs until a token budget is exhausted: order by
+    (floored quality desc, id asc — a total order), take docs while the
+    RUNNING token total stays within ``budget``.
+
+    Scalable exact prefix sum in two phases instead of a global-order
+    window (which Spark executes in ONE partition): range-repartition
+    on the sort key so partitions are globally ordered, compute each
+    partition's token subtotal (a tiny driver-side map, O(#partitions)),
+    then a per-partition cumulative window offset by the preceding
+    partitions' subtotals. Every stage is distributed; the only
+    driver-side state is one number per partition."""
+    from pyspark.sql import Window
+
+    q = quality_score(token_counts(df, text_col), text_col)
+    d = q.select(
+        F.col(id_col),
+        (F.floor(F.col("quality_score") * 10000) / 10000).alias("q4"),
+        F.col("n_tokens_ws").alias("n_tokens"),
+    )
+    d = d.repartitionByRange(F.desc("q4"), F.asc(id_col))
+    d = d.withColumn("_pid", F.spark_partition_id())
+    # O(#partitions) driver map: each partition's token subtotal
+    offsets_rows = (
+        d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    totals = {r["_pid"]: r["s"] for r in offsets_rows}
+    prefix = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pmap = F.create_map(
+        *[c for pid, off in prefix.items()
+          for c in (F.lit(pid), F.lit(off).cast("bigint"))]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("q4"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w) + pmap[F.col("_pid")])
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, "q4", "n_tokens", "cum_tokens")
+    )

@@ -637,6 +637,52 @@ SELECT id_a, id_b, jaccard FROM jac WHERE raw_j >= 0.5"""
     whens = " ".join(
         f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}'" for lang in prof
     )
+    toks_l = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    stop_l = f"len(list_filter({toks_l}, t -> t IN ('the','a','of','and','to','is','in')))"
+    punct_l = "(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))"
+    distinct_l = f"(len(list_distinct({toks_l})) * 1.0 / len({toks_l}))"
+    score_l = (
+        f"LEAST(length(text) / 500.0, 1.0) * 0.3"
+        f" + LEAST({stop_l} * 1.0 / len({toks_l}) * 5.0, 1.0) * 0.2"
+        f" + (1.0 - LEAST({punct_l} * 1.0 / length(text) * 4.0, 1.0)) * 0.2"
+        f" + LEAST({distinct_l} * 1.5, 1.0) * 0.3"
+    )
+    # the curation funnel: floored-quality gate -> profile-argmax lang
+    # gate -> exact-dedup keeper window, all recomputed from raw text
+    q["corpus_curation"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE {whens} ELSE 'unk' END AS lang_pred,
+         floor(({score_l}) * 10000) / 10000 AS q4,
+         CAST(len({toks_l}) AS BIGINT) AS n_tokens_ws,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM (SELECT doc_id, text, {best} AS best FROM documents)
+),
+kept AS (
+  SELECT * FROM scored WHERE q4 >= 0.5 AND lang_pred IN ('en')
+),
+kw AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS k0 FROM kept
+)
+SELECT doc_id, lang_pred, q4, n_tokens_ws FROM kw WHERE doc_id = k0"""
+
+    # budgeted selection: windowed cumulative sum over the same total
+    # order the engine's two-phase distributed prefix sum uses
+    q["token_budget"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         floor(({score_l}) * 10000) / 10000 AS q4,
+         CAST(len({toks_l}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, q4, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY q4 DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, q4, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

@@ -270,6 +270,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, fingerprint=fp)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel as one composed operator: quality
+    gate (floored-score threshold, so the cut sits on the proven
+    bit-equal 1e-4 grid) -> language gate (stopword-profile argmax) ->
+    exact-dedup keeper filter. Oracle recomputes the whole funnel in
+    SQL."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate(docs, min_quality=0.5, langs=("en",))
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted selection: best docs by (floored quality desc, id) until
+    the running token total exceeds 10k. The engine computes the exact
+    global prefix sum in two distributed phases (range partition ->
+    per-partition subtotals, O(#partitions) driver map -> offset
+    windows) instead of a one-partition global window; the oracle is a
+    plain windowed cumulative sum over the same total order."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget(docs, budget=10_000)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

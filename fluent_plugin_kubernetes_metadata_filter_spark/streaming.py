@@ -259,3 +259,31 @@ def conversation_progress(stream_df: DataFrame, query_name: str = "conv_progress
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(stream_df: DataFrame, text_col: str = "text",
+                 ts_col: str = "ts", delay: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on ingest: the first record with a given
+    normalized-content fingerprint passes, later copies within the
+    watermark window are dropped — the training-data analogue of the
+    batch ``exact_dedup`` keeper filter, for pipelines that dedup as
+    data lands instead of in a later batch pass.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the per-fingerprint state
+    EXPIRES ``delay`` after the watermark passes its event time —
+    bounded state at any stream length, unlike a plain streaming
+    dropDuplicates whose fingerprint set grows forever. The trade is
+    the reference's TTL trade (io.dim_with_ttl): a copy arriving more
+    than ``delay`` after the original is no longer remembered and
+    passes; at 100 TB/day that window bounds state to a day-scale
+    working set while still collapsing the burst-duplication (crawl
+    re-fetches, retry storms) that dominates real ingest."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+    )
+
+    return (
+        stream_df.withColumn("fingerprint", _content_fingerprint(text_col))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

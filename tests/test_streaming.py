@@ -224,3 +224,32 @@ def test_watch_stats_fingerprint_guard(spark):
     assert stats.counters == {"namespace_cache_fingerprint_skipped": 1}
     stats.observe("namespace", small, ["namespace_name"])
     assert stats.counters["namespace_cache_host_updates"] == 2  # clean restart
+
+
+def test_dedup_stream_drops_cross_batch_copies(spark, tmp_path):
+    """Streaming exact dedup: a copy arriving in a LATER micro-batch is
+    dropped (state persists across batches); distinct texts all pass."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows1 = [(1, "alpha beta gamma", t0), (2, "delta epsilon zeta", t0)]
+    rows2 = [(3, "Alpha  beta gamma", t0),  # normalized copy of doc 1
+             (4, "eta theta iota", t0)]
+    schema = "doc_id long, text string, ts timestamp"
+    d = str(tmp_path / "docs-in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = streaming.dedup_stream(stream)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_out").collect())
+    # doc 3 is a normalized duplicate of doc 1 -> dropped; one of {1,3}
+    # survives (whichever batch ran first) plus both distinct texts
+    assert len(got) == 3 and 2 in got and 4 in got and (1 in got) != (3 in got)
