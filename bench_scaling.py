@@ -63,6 +63,24 @@ spark.stop()
 """
 
 
+def warm_input(sf_dir: str) -> None:
+    """Pull the input parquet into the OS page cache before any level
+    runs. The parquet count() warmup inside the child reads only
+    row-group metadata, NOT data pages — so without this, each timed
+    run pays the box's raw disk throughput (measured as low as
+    ~50 MB/s on this VM's single vda) as a constant that swamps the
+    plan's scaling signal. Storage on one box is a shared non-scaling
+    resource; the N-vs-4N criterion targets plan/CPU scaling, which a
+    RAM-resident input isolates (the same reason shuffle scratch goes
+    to tmpfs)."""
+    import glob
+
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def run_level(cpus: int) -> dict:
     # fresh tmpfs scratch per level: leftover shuffle/local state from the
     # previous level's JVM measurably contaminates the next run
@@ -80,6 +98,7 @@ def run_level(cpus: int) -> dict:
 
 
 def main():
+    warm_input(SF_DIR)
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
     runs: dict[int, list[dict]] = {N_SMALL: [], N_SMALL * 4: []}
     # interleave levels across trials so slow-timescale host drift (this
