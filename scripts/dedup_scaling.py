@@ -94,7 +94,7 @@ spark = build_session(app=f"dedup-scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(f"{probe_dir}/documents.parquet")
-n_docs = docs.count()  # warm JVM + page cache
+n_docs = docs.count()  # warm JVM (page cache pre-faulted by the parent)
 best = None
 for _ in range(repeat):
     t0 = time.time()
@@ -121,8 +121,21 @@ def run_level(cpus: int) -> dict:
     return json.loads(line[-1])
 
 
+def warm_input() -> None:
+    """Pre-fault the probe parquet into the page cache: parquet count()
+    inside the child reads only row-group metadata, so without this the
+    first timed run pays raw disk throughput (see bench_scaling.py)."""
+    import glob
+
+    for f in glob.glob(f"{PROBE_DIR}/documents.parquet/*"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def main():
     ensure_probe_data()
+    warm_input()
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
     runs: dict[int, list[dict]] = {N_SMALL: [], N_SMALL * 4: []}
     for _ in range(trials):
