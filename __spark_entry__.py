@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_neardup": q.q_lsh_neardup,
         "corpus_curation": q.q_corpus_curation,
         "token_budget": q.q_token_budget,
+        "decontaminate": q.q_decontaminate,
+        "paragraph_dedup": q.q_paragraph_dedup,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

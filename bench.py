@@ -69,6 +69,12 @@ def query_list(spark, sf_dir):
         ("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect()),
         ("ann_topk", lambda: q.q_ann_topk(spark, sf_dir).collect()),
         ("ann_topk_gemm", lambda: q.q_ann_topk_gemm(spark, sf_dir).collect()),
+        # pre-training funnel: curation gates -> budgeted selection,
+        # plus the two sub-document hygiene passes
+        ("corpus_curation", lambda: noop(q.q_corpus_curation(spark, sf_dir))),
+        ("token_budget", lambda: noop(q.q_token_budget(spark, sf_dir))),
+        ("decontaminate", lambda: noop(q.q_decontaminate(spark, sf_dir))),
+        ("paragraph_dedup", lambda: noop(q.q_paragraph_dedup(spark, sf_dir))),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),
@@ -77,8 +83,13 @@ def query_list(spark, sf_dir):
 
 
 def bench(spark, sf_dir, trials=TRIALS):
+    from bench_scaling import warm_input
     from fluent_plugin_kubernetes_metadata_filter_spark.io import load_table
 
+    # pre-fault input data pages into the OS page cache (count() alone
+    # reads only row-group metadata; a cold first trial would pay raw
+    # vda throughput inside the timed window)
+    warm_input(sf_dir)
     # warm the dim/aux generation + JVM before timing
     n_turns = load_table(spark, sf_dir, "transcripts").count()
 

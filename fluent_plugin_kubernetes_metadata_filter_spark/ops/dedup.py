@@ -668,3 +668,128 @@ def propagate_min_keeper(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id
             f"(component diameter > ~2^{max_iter}); raise max_iter"
         )
     return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("keep_id"))
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.5,
+                  shingle_hash: str = "xxhash64") -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose word-shingle
+    sets overlap a held-out evaluation set — the standard pre-training
+    hygiene pass that keeps eval questions out of the training corpus.
+
+    Returns one row per corpus doc:
+    ``(id, n_shingles, n_hits, overlap, contaminated)`` where
+    ``overlap = n_hits / n_shingles`` (the fraction of the doc's
+    distinct 3-gram shingles that appear anywhere in the eval set) and
+    ``contaminated = overlap >= threshold``.
+
+    Scale shape: the eval side is small by nature (benchmarks are 10^3-10^5
+    docs, i.e. ~10^6-10^7 distinct shingles), so its distinct-shingle
+    table is BROADCAST — the 100 TB corpus side never shuffles its
+    shingle strings. The corpus explodes to shingle grain, probes the
+    broadcast set with a LEFT join, and immediately re-aggregates to
+    doc grain with a map-side-combined groupBy: the only exchange
+    carries one small row per doc per partition. ``shingle_hash``:
+    ``"xxhash64"`` (default) probes on int64 hashes (cheap comparisons,
+    collision odds ~n^2/2^64 — immaterial for flagging); ``"raw"``
+    probes on the shingle strings themselves, bit-identically
+    recomputable by the SQL oracle (strings stay inside the task — the
+    broadcast is still the small eval side — so the cost is only the
+    wider hash-table probe).
+    """
+    sh_corpus = shingles(F.col(text_col))
+    sh_eval = shingles(F.col(text_col))
+    if shingle_hash == "xxhash64":
+        key = lambda c: F.xxhash64(c)  # noqa: E731
+    elif shingle_hash == "raw":
+        key = lambda c: c  # noqa: E731
+    else:
+        raise ValueError(f"unknown shingle_hash: {shingle_hash!r}")
+
+    ev = (
+        eval_df.select(F.explode(sh_eval).alias("_sh"))
+        .select(key(F.col("_sh")).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # project the shingle array ONCE: size() and explode() both consume
+    # it, and inlining the transform into each would shingle every doc
+    # twice (the non-cheap multi-referenced alias blocks CollapseProject
+    # from undoing this)
+    c = (
+        _spread(corpus, id_col)
+        .select(F.col(id_col), sh_corpus.alias("_arr"))
+        .select(
+            F.col(id_col),
+            F.size("_arr").cast("bigint").alias("n_shingles"),
+            F.explode("_arr").alias("_sh"),
+        )
+        .select(id_col, "n_shingles", key(F.col("_sh")).alias("_sh"))
+    )
+    hits = (
+        c.join(F.broadcast(ev), "_sh", "left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+    )
+    overlap = F.col("n_hits") / F.col("n_shingles")
+    return hits.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        overlap.alias("overlap"),
+        (overlap >= threshold).alias("contaminated"),
+    )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n\n", max_df: int = 1,
+                    join_sep: str | None = None) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: strip paragraphs that are
+    repeated across documents — the boilerplate-removal pass (headers,
+    footers, cookie banners, templated navigation) that whole-doc dedup
+    cannot touch because every containing page differs elsewhere.
+
+    Splits each doc on ``sep`` (a Java regex; default blank line),
+    fingerprints each paragraph on normalized content (the shared
+    ``_content_fingerprint`` normalization), counts the number of
+    DISTINCT documents containing each fingerprint, and rebuilds every
+    doc keeping only paragraphs whose document frequency is <=
+    ``max_df``, in original order, joined with ``join_sep`` (defaults
+    to ``sep``). Returns ``(id, clean_text, n_kept, n_dropped)`` for
+    EVERY input doc — a doc whose paragraphs are all boilerplate comes
+    back with ``clean_text = ''``, it does not vanish.
+
+    Scale shape: three exchanges, all at bounded width — (1) groupBy
+    fingerprint for the doc-frequency count (map-side combined, rows =
+    distinct paragraphs); (2) a sort-merge join of the paragraph grain
+    against that one-row-per-fingerprint table (NOT broadcast: with a
+    small ``max_df`` over a duplicated web corpus the over-frequency
+    set is unbounded, and a hot boilerplate fingerprint is plain join
+    skew that AQE splits — no row blow-up, the frequency side is
+    unique); (3) groupBy doc for reassembly, where the collect_list is
+    bounded by a single document's own paragraph count, never by
+    corpus-wide frequency."""
+    if join_sep is None:
+        join_sep = sep
+    p = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "_pfp",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")),
+    )
+    dfreq = p.groupBy("_pfp").agg(
+        F.count_distinct(F.col(id_col)).alias("_pdf")
+    )
+    j = p.join(dfreq, "_pfp")
+    keep = F.col("_pdf") <= max_df
+    kept_paras = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("pos", "para")))
+    )
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept_paras, lambda s: s["para"]), join_sep
+        ).alias("clean_text"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_dropped"),
+    )

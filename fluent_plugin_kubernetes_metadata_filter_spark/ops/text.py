@@ -148,7 +148,16 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
     partition's token subtotal (a tiny driver-side map, O(#partitions)),
     then a per-partition cumulative window offset by the preceding
     partitions' subtotals. Every stage is distributed; the only
-    driver-side state is one number per partition."""
+    driver-side state is one number per partition.
+
+    The subtotal job and the final output job MUST see the same
+    physical partitioning. ``repartitionByRange`` re-samples boundary
+    values per execution (its contract says output "may not be
+    consistent"), and AQE may coalesce partitions differently per run,
+    so the partitioned frame is materialized once with
+    ``localCheckpoint`` before either job reads it — this also makes
+    the quality-scoring scan execute exactly once. A pid that somehow
+    misses the offset map raises rather than yielding NULL."""
     from pyspark.sql import Window
 
     q = quality_score(token_counts(df, text_col), text_col)
@@ -157,8 +166,13 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
         (F.floor(F.col("quality_score") * 10000) / 10000).alias("q4"),
         F.col("n_tokens_ws").alias("n_tokens"),
     )
-    d = d.repartitionByRange(F.desc("q4"), F.asc(id_col))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    d = d.repartitionByRange(nparts, F.desc("q4"), F.asc(id_col))
     d = d.withColumn("_pid", F.spark_partition_id())
+    # Pin ONE physical partitioning for both the subtotal job and the
+    # output job, and run the scoring pass once. localCheckpoint loss
+    # (executor death) fails the job loudly — never silently wrong.
+    d = d.localCheckpoint(eager=True)
     # O(#partitions) driver map: each partition's token subtotal
     offsets_rows = (
         d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
@@ -169,9 +183,23 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
+    if not prefix:  # empty input: no map to build, nothing to select
+        return d.where(F.lit(False)).select(
+            id_col, "q4", F.col("n_tokens"),
+            F.col("n_tokens").alias("cum_tokens"),
+        )
     pmap = F.create_map(
         *[c for pid, off in prefix.items()
           for c in (F.lit(pid), F.lit(off).cast("bigint"))]
+    )
+    offset = F.coalesce(
+        pmap[F.col("_pid")],
+        F.raise_error(
+            F.concat(
+                F.lit("token_budget: partition id not in offset map: "),
+                F.col("_pid").cast("string"),
+            )
+        ).cast("bigint"),
     )
     w = (
         Window.partitionBy("_pid")
@@ -179,7 +207,7 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w) + pmap[F.col("_pid")])
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w) + offset)
         .where(F.col("cum_tokens") <= budget)
         .select(id_col, "q4", "n_tokens", "cum_tokens")
     )

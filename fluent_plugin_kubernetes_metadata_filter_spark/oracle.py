@@ -517,13 +517,15 @@ simsig AS (
 
 
 def _ops_oracles() -> dict[str, str]:
-    """Oracles for the SQL-expressible ops queries. The minhash_pairs
-    and lsh_neardup queries have NO oracle (xxhash64 has no DuckDB
-    equivalent) — the driver records rows-only checks there, and the
-    planted-duplicate tests in tests/test_ops.py plus the value-gated
-    twins (minhash_jaccard_verified, neardup_brute) carry the exactness
-    burden. The simhash queries run the md5 token-hash variant, fully
-    recomputable here (_simhash_ctes)."""
+    """Oracles for the ops queries — since round 4, EVERY driver query
+    is value-gated (tests/test_contract.py asserts zero rows-only).
+    The hash-chain queries run md5 token/shingle-hash variants that
+    DuckDB recomputes bit-identically: minhash_pairs rebuilds the full
+    64-min signature with the engine's affine constants and re-bands it
+    (_minhash_ctes); simhash/simhash_pairs rebuild the 64-bit hash from
+    md5 halves (_simhash_ctes); lsh_neardup re-projects the round(6)
+    plane literals. The production xxhash64 paths are pinned to the md5
+    variants by parity tests in tests/test_ops.py."""
     q: dict[str, str] = {}
 
     q["minhash_pairs"] = f"""
@@ -682,6 +684,52 @@ c AS (
   FROM d
 )
 SELECT doc_id, q4, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000"""
+
+    # benchmark decontamination: per-doc fraction of distinct shingles
+    # found in the eval slice's shingle set — raw-string probe, so the
+    # whole chain is recomputed from text here; the contaminated flag
+    # compares the exact integer ratio (one correctly-rounded division
+    # on both engines)
+    q["decontaminate"] = f"""
+WITH {_jaccard_ctes(fallback=True)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(ev.shingle) AS n_hits
+  FROM sh s LEFT JOIN ev USING (shingle)
+  GROUP BY 1
+)
+SELECT h.doc_id, z.sz AS n_shingles, CAST(h.n_hits AS BIGINT) AS n_hits,
+       floor(h.n_hits * 1.0 / z.sz * 10000) / 10000 AS overlap4,
+       (h.n_hits * 1.0 / z.sz) >= 0.5 AS contaminated
+FROM hits h JOIN sizes z USING (doc_id)
+WHERE h.n_hits > 0"""
+
+    # paragraph-level (sub-document) dedup: 10-word pseudo-paragraph
+    # chunking, cross-doc frequency on the normalized-content md5, docs
+    # reassembled keeping only df<=1 paragraphs in original order
+    q["paragraph_dedup"] = """
+WITH ptoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+),
+paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[((i-1)*10+1):((i-1)*10+10)], ' ') AS para
+  FROM ptoks,
+       unnest(generate_series(1, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS t(i)
+),
+pf AS (
+  SELECT doc_id, pos, para,
+         md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS fp
+  FROM paras
+),
+dfreq AS (SELECT fp, COUNT(DISTINCT doc_id) AS pdf FROM pf GROUP BY 1)
+SELECT doc_id,
+       COALESCE(string_agg(para, e'\\n\\n' ORDER BY pos)
+                FILTER (WHERE pdf <= 1), '') AS clean_text,
+       COUNT(*) FILTER (WHERE pdf <= 1) AS n_kept,
+       COUNT(*) FILTER (WHERE pdf > 1) AS n_dropped
+FROM pf JOIN dfreq USING (fp)
+GROUP BY 1"""
 
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)

@@ -295,6 +295,48 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget(docs, budget=10_000)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each corpus doc's distinct
+    3-gram shingles appearing anywhere in a held-out eval set (here the
+    deterministic doc_id % 97 == 0 slice). The eval shingle table is
+    broadcast; the corpus side aggregates hits map-side. Runs the
+    ``"raw"`` shingle variant so the oracle recomputes the probe from
+    the shingle strings bit-identically; the xxhash64 production
+    variant is parity-pinned in tests/test_ops.py."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    r = decontaminate(docs, ev, threshold=0.5, shingle_hash="raw")
+    return r.where(F.col("n_hits") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        (F.floor(F.col("overlap") * 10000) / 10000).alias("overlap4"),
+        "contaminated",
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal: docs are re-chunked into
+    deterministic 10-word pseudo-paragraphs (the synthetic corpus has
+    no blank lines), then every paragraph repeated across >1 distinct
+    docs is stripped and each doc reassembled in order. The planted
+    duplicate/near-duplicate doc clusters in the corpus make their
+    shared chunks cross-doc-frequent, so the op has real work to do."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nch = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 10 + 1, 10)),
+    )
+    structured = docs.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    return paragraph_dedup(structured, max_df=1)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -102,7 +102,10 @@ class WatchStats:
         return {r.k: r.h for r in rows}
 
     def observe(self, kind: str, df: DataFrame, key_cols: list[str]) -> None:
-        if df.count() > self.fingerprint_max_rows:
+        # Bounded guard: scan at most max_rows+1 rows to decide, never
+        # a full count of the dim (which re-ran its whole plan per
+        # micro-batch before the fingerprint collect that follows).
+        if df.limit(self.fingerprint_max_rows + 1).count() > self.fingerprint_max_rows:
             self.bump(f"{kind}_cache_fingerprint_skipped")
             self._prev[kind] = None  # a later small snapshot restarts clean
             return
@@ -277,13 +280,18 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
     than ``delay`` after the original is no longer remembered and
     passes; at 100 TB/day that window bounds state to a day-scale
     working set while still collapsing the burst-duplication (crawl
-    re-fetches, retry storms) that dominates real ingest."""
+    re-fetches, retry storms) that dominates real ingest.
+
+    The internal fingerprint column is dropped before returning, so
+    the output schema equals the input schema — downstream sinks see
+    exactly the transcript columns they were written against."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
         _content_fingerprint,
     )
 
     return (
-        stream_df.withColumn("fingerprint", _content_fingerprint(text_col))
+        stream_df.withColumn("_dedup_fp", _content_fingerprint(text_col))
         .withWatermark(ts_col, delay)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["_dedup_fp"])
+        .drop("_dedup_fp")
     )

@@ -466,6 +466,67 @@ def test_fingerprint_deterministic_and_normalizing(spark):
     assert rows[1].min_shingle_hash == rows[2].min_shingle_hash
 
 
+def _budget_expected(df, budget):
+    """Independent single-process model of token_budget's contract."""
+    rows = textops.quality_score(textops.token_counts(df)).select(
+        "doc_id",
+        (F.floor(F.col("quality_score") * 10000) / 10000).alias("q4"),
+        F.col("n_tokens_ws").alias("n_tokens"),
+    ).collect()
+    rows.sort(key=lambda r: (-r.q4, r.doc_id))
+    out, acc = [], 0
+    for r in rows:
+        acc += r.n_tokens
+        if acc > budget:
+            break
+        out.append((r.doc_id, r.q4, r.n_tokens, acc))
+    return out
+
+
+def test_token_budget_exact_prefix_sum_with_ties_multipartition(spark):
+    """Many docs with IDENTICAL text (total q4 ties, broken only by id)
+    spread across multiple range partitions: cum_tokens must equal the
+    sequential prefix sum over the (q4 desc, id asc) total order, and
+    the budget cut must be exact."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(40)]  # all tie on q4, 12 tokens each
+    rows += [(100 + i, f"low q {'zz ' * (i + 1)}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    budget = 12 * 25 + 5  # cuts mid-tie-group, partial doc must be dropped
+    got = sorted(
+        (r.doc_id, r.q4, r.n_tokens, r.cum_tokens)
+        for r in textops.token_budget(df, budget=budget).collect()
+    )
+    assert got == sorted(_budget_expected(df, budget))
+    # the tie group is taken strictly in id order: first 25 ids exactly
+    assert [g[0] for g in sorted(got, key=lambda g: g[3])] == list(range(25))
+
+
+def test_token_budget_result_partitioning_independent(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = textops.token_budget(docs, budget=5000)
+    b = textops.token_budget(docs.repartition(3), budget=5000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_token_budget_single_source_scan(spark):
+    """The offset map and the output must come from ONE materialized
+    partitioning: after the internal localCheckpoint, the output plan
+    reads the checkpointed RDD and contains NO scan of the parquet
+    source (which would be a second, re-sampled execution)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = textops.token_budget(docs, budget=5000)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+
+
+def test_token_budget_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = textops.token_budget(df, budget=100)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "q4", "n_tokens", "cum_tokens"]
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_multimodal_feature_extraction(spark):
@@ -598,3 +659,117 @@ def test_minhash_variants_agree_on_planted_dups(spark, docs_with_dups):
         got = {(p.id_a, p.id_b): p.jaccard for p in pairs.collect()}
         for i in range(20):
             assert got.get((i, i + 10000)) == 1.0, (variant, i)
+
+
+# ---------------------------------------------------- decontamination
+
+
+@pytest.fixture(scope="module")
+def contam(spark):
+    """Corpus with known eval overlap: doc 1 IS the eval doc, doc 2
+    half-overlaps it, doc 3 is disjoint."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d x y z w"), (3, "p q r s t u v")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "a b c d e f g h")], "doc_id long, text string")
+    return corpus, ev
+
+
+def test_decontaminate_overlap_fractions(spark, contam):
+    corpus, ev = contam
+    r = {x.doc_id: x for x in dedup.decontaminate(corpus, ev, threshold=0.5).collect()}
+    assert r[1].n_shingles == 6 and r[1].n_hits == 6 and r[1].contaminated
+    assert r[2].n_hits == 2 and not r[2].contaminated  # 'a b c','b c d' only
+    assert r[3].n_hits == 0 and r[3].overlap == 0.0 and not r[3].contaminated
+    assert r[1].overlap == 1.0
+
+
+def test_decontaminate_variants_agree(spark, contam):
+    """The raw-string gate variant and the xxhash64 production variant
+    must produce identical rows (collisions aside, which cannot occur
+    at test scale)."""
+    corpus, ev = contam
+    a = sorted(map(tuple, dedup.decontaminate(corpus, ev, shingle_hash="xxhash64").collect()))
+    b = sorted(map(tuple, dedup.decontaminate(corpus, ev, shingle_hash="raw").collect()))
+    assert a == b
+
+
+def test_decontaminate_broadcasts_eval_side(spark, contam):
+    """The 100 TB-side contract: the eval shingle set is broadcast and
+    the corpus side reaches the hit aggregation without shuffling its
+    exploded shingle rows — the only corpus exchange is the doc-grain
+    partial-aggregated groupBy."""
+    corpus, ev = contam
+    plan = (
+        dedup.decontaminate(corpus, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_decontaminate_short_doc_fallback(spark):
+    """<3-token docs fall back to the whole-text shingle in BOTH the
+    corpus and eval paths, so a short eval item still decontaminates
+    its exact copies."""
+    corpus = spark.createDataFrame([(1, "hi there"), (2, "bye now")],
+                                   "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "hi there")], "doc_id long, text string")
+    r = {x.doc_id: x for x in dedup.decontaminate(corpus, ev).collect()}
+    assert r[1].n_shingles == 1 and r[1].n_hits == 1 and r[1].contaminated
+    assert r[2].n_hits == 0
+
+
+# -------------------------------------------------- paragraph dedup
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world\n\nshared footer text\n\nunique one"),
+         (2, "different body\n\nshared footer text"),
+         (3, "shared footer text"),
+         (4, "solo paragraph here")],
+        "doc_id long, text string",
+    )
+
+
+def test_paragraph_dedup_strips_cross_doc_paragraphs(spark, para_docs):
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(para_docs).collect()}
+    assert out[1].clean_text == "hello world\n\nunique one"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 1
+    assert out[2].clean_text == "different body"
+    # doc 3 is ALL boilerplate: kept with empty text, not dropped
+    assert out[3].clean_text == "" and out[3].n_kept == 0 and out[3].n_dropped == 1
+    assert out[4].clean_text == "solo paragraph here" and out[4].n_dropped == 0
+
+
+def test_paragraph_dedup_normalized_matching(spark):
+    """Paragraph fingerprints use the shared content normalization:
+    case/whitespace variants of the same paragraph count as one."""
+    docs = spark.createDataFrame(
+        [(1, "Shared  Footer\n\nbody a"), (2, "shared footer\n\nbody b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert out[1].clean_text == "body a" and out[2].clean_text == "body b"
+
+
+def test_paragraph_dedup_max_df_threshold(spark, para_docs):
+    """max_df=3 keeps the footer (df==3 <= 3): nothing is dropped."""
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(para_docs, max_df=3).collect()}
+    assert all(r.n_dropped == 0 for r in out.values())
+    assert out[1].clean_text == "hello world\n\nshared footer text\n\nunique one"
+
+
+def test_paragraph_dedup_within_doc_repeat_not_boilerplate(spark):
+    """A paragraph repeated WITHIN one doc has document frequency 1 —
+    df counts distinct docs — so it survives intact (both copies)."""
+    docs = spark.createDataFrame(
+        [(1, "echo me\n\necho me\n\nother"), (2, "unrelated stuff")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert out[1].clean_text == "echo me\n\necho me\n\nother"
+    assert out[1].n_kept == 3

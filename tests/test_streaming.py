@@ -244,6 +244,7 @@ def test_dedup_stream_drops_cross_batch_copies(spark, tmp_path):
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
     )
     out = streaming.dedup_stream(stream)
+    assert out.columns == stream.columns  # no internal column leaks out
     q = (
         out.writeStream.outputMode("append").format("memory")
         .queryName("dedup_out").trigger(availableNow=True).start()
