@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q.q_token_budget,
         "decontaminate": q.q_decontaminate,
         "paragraph_dedup": q.q_paragraph_dedup,
+        "repetition": q.q_repetition,
+        "redact_pii": q.q_redact_pii,
+        "full_curation": q.q_full_curation,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -712,24 +712,24 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, text_col: str = "text",
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    # project the shingle array ONCE: size() and explode() both consume
-    # it, and inlining the transform into each would shingle every doc
-    # twice (the non-cheap multi-referenced alias blocks CollapseProject
-    # from undoing this)
-    c = (
-        _spread(corpus, id_col)
-        .select(F.col(id_col), sh_corpus.alias("_arr"))
-        .select(
-            F.col(id_col),
-            F.size("_arr").cast("bigint").alias("n_shingles"),
-            F.explode("_arr").alias("_sh"),
-        )
-        .select(id_col, "n_shingles", key(F.col("_sh")).alias("_sh"))
+    # ONE shingle pass: the shingle array is distinct per doc, so
+    # n_shingles is just the exploded row count per doc — counting it
+    # in the same aggregation as the hits avoids a second evaluation of
+    # the (interpreted-HOF, hence expensive) shingle transform, which a
+    # separate size() column costs even when the array is aliased
+    # first. The key mapping runs inside the array (before explode) so
+    # the generate emits int64s on the fast path, never strings.
+    c = _spread(corpus, id_col).select(
+        F.col(id_col),
+        F.explode(F.transform(sh_corpus, lambda sh: key(sh))).alias("_sh"),
     )
     hits = (
         c.join(F.broadcast(ev), "_sh", "left")
-        .groupBy(id_col, "n_shingles")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
     )
     overlap = F.col("n_hits") / F.col("n_shingles")
     return hits.select(

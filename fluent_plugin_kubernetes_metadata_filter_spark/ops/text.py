@@ -211,3 +211,110 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
         .where(F.col("cum_tokens") <= budget)
         .select(id_col, "q4", "n_tokens", "cum_tokens")
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Gopher-style repetition quality signals: for each n in ``ns``,
+    the fraction of the doc's word n-grams taken by the single MOST
+    FREQUENT n-gram (``top{n}_frac``). Degenerate machine-generated text
+    ("buy now buy now buy now ...") scores near 1.0; natural text near
+    1/n_tokens. The standard pre-training repetition filter cuts docs
+    whose top-2-gram or top-3-gram fraction exceeds a threshold
+    (Rae et al. 2021, "Scaling Language Models", table A1 — public).
+
+    A doc shorter than n tokens has no n-grams: its ``top{n}_frac`` is
+    0.0 (nothing to repeat).
+
+    Scale shape: computing a per-doc MODE is not expression-friendly
+    (an array-lambda formulation is O(tokens^2) interpreted per row),
+    so all requested n-gram lengths are tagged and exploded ONCE, then
+    two map-side-combined groupBys — (doc, n, gram) counts, then
+    (doc, n) max/total — and a final pivot-style groupBy(doc) that
+    reuses the second aggregation's doc-clustered partitioning. Three
+    exchanges at n-gram grain, no Python, no unbounded buffers."""
+    tk = tokens(F.col(text_col))
+    gram_struct = "array<struct<n:int,gram:string>>"
+
+    # one-arg lambda via factory: a 2-param lambda (even with a default)
+    # is read by PySpark's HOF binding as (element, index)
+    def gram_maker(_n):
+        return lambda i: F.struct(
+            F.lit(_n).alias("n"),
+            F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(_n)]
+            ).alias("gram"),
+        )
+
+    per_n = []
+    for n in ns:
+        if n == 1:
+            grams = F.transform(tk, lambda t: F.struct(F.lit(1).alias("n"), t.alias("gram")))
+        else:
+            grams = F.when(
+                F.size(tk) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(tk) - (n - 1)), gram_maker(n)),
+            ).otherwise(F.array().cast(gram_struct))
+        per_n.append(grams)
+    # n-gram expansion is ~100x work per input byte: re-parallelize
+    # small scans like the other text-expansion ops (no-op at scale)
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
+
+    df = _spread(df, id_col)
+    g = df.select(
+        F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
+    ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = g.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    fracs = counts.groupBy(id_col, "n").agg(
+        (F.max("cnt") / F.sum("cnt")).alias("frac")
+    )
+    aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("frac"))), F.lit(0.0)
+        ).alias(f"top{n}_frac")
+        for n in ns
+    ]
+    return fracs.groupBy(id_col).agg(*aggs)
+
+
+# Redaction patterns: Java-regex AND RE2 compatible (no backtracking
+# constructs), so the DuckDB oracle replays the identical sequence.
+# Order matters — each pattern is counted and replaced against the text
+# as left by the previous one (an email's digits must not later count
+# as a phone; a card number must be consumed before the generic digit
+# run). Dict order IS application order.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b\d{13,19}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               out_col: str = "redacted_text") -> DataFrame:
+    """PII scrubbing for training corpora: sequentially replace each
+    pattern class with a ``[KIND]`` placeholder and count the matches
+    per class (``n_<kind>`` columns). Pure expression chain
+    (regexp_count + regexp_replace) — whole-stage codegen, no shuffle,
+    no Python; at 100 TB this is a free rider on whatever scan already
+    touches the text column.
+
+    Patterns apply in dict order against the progressively redacted
+    text, so earlier classes consume characters before later, more
+    general ones (the default order: email, ipv4, card, phone)."""
+    if patterns is None:
+        patterns = PII_PATTERNS
+    # stage through a work column so each replace is computed ONCE:
+    # chaining expressions instead would embed the whole replace prefix
+    # into every n_<kind> column and re-run it per column per row (the
+    # non-cheap multi-referenced alias keeps CollapseProject from
+    # re-inlining the staged form)
+    work = "_pii_work"
+    out = df.withColumn(work, F.col(text_col))
+    for kind, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(work), F.lit(pat)).cast("bigint")
+        ).withColumn(work, F.regexp_replace(F.col(work), pat, f"[{kind.upper()}]"))
+    return out.withColumn(out_col, F.col(work)).drop(work)

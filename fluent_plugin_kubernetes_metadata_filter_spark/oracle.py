@@ -685,6 +685,57 @@ c AS (
 )
 SELECT doc_id, q4, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000"""
 
+    # the COMPLETE funnel: curation keepers ∩ repetition gate ∩
+    # decontamination gate -> windowed token budget over survivors
+    q["full_curation"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE {whens} ELSE 'unk' END AS lang_pred,
+         floor(({score_l}) * 10000) / 10000 AS q4,
+         CAST(len({toks_l}) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM (SELECT doc_id, text, {best} AS best FROM documents)
+),
+kept AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS k0
+  FROM scored WHERE q4 >= 0.5 AND lang_pred IN ('en')
+),
+keepers AS (SELECT doc_id, q4, n_tokens FROM kept WHERE doc_id = k0),
+rtk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+),
+big AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+  FROM rtk, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+),
+bigc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+rep_ok AS (
+  SELECT doc_id FROM bigc GROUP BY 1
+  HAVING floor(MAX(cnt) * 1.0 / SUM(cnt) * 10000) / 10000 <= 0.15
+),
+{_jaccard_ctes(fallback=True)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(ev.shingle) AS n_hits
+  FROM sh s LEFT JOIN ev USING (shingle)
+  GROUP BY 1
+),
+dec_ok AS (
+  SELECT h.doc_id FROM hits h JOIN sizes z USING (doc_id)
+  WHERE (h.n_hits * 1.0 / z.sz) < 0.5
+),
+surv AS (
+  SELECT k.doc_id, k.q4, k.n_tokens FROM keepers k
+  JOIN rep_ok USING (doc_id) JOIN dec_ok USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, q4, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY q4 DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM surv
+)
+SELECT doc_id, q4, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 8000"""
+
     # benchmark decontamination: per-doc fraction of distinct shingles
     # found in the eval slice's shingle set — raw-string probe, so the
     # whole chain is recomputed from text here; the contaminated flag
@@ -730,6 +781,53 @@ SELECT doc_id,
        COUNT(*) FILTER (WHERE pdf > 1) AS n_dropped
 FROM pf JOIN dfreq USING (fp)
 GROUP BY 1"""
+
+    # Gopher-style repetition: most-frequent-n-gram fraction per doc
+    # for n=1,2,3; docs shorter than n tokens score 0.0 for that n
+    rep_cols = ", ".join(
+        f"floor(COALESCE(MAX(CASE WHEN n = {n} THEN frac END), 0) * 10000) / 10000"
+        f" AS top{n}_frac4"
+        for n in (1, 2, 3)
+    )
+    q["repetition"] = f"""
+WITH rtk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, 1 AS n, w[i] AS gram
+  FROM rtk, unnest(generate_series(1, len(w))) AS t(i)
+  UNION ALL
+  SELECT doc_id, 2, w[i] || ' ' || w[i+1]
+  FROM rtk, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  UNION ALL
+  SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+  FROM rtk, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+a AS (SELECT doc_id, n, MAX(cnt) * 1.0 / SUM(cnt) AS frac FROM c GROUP BY 1, 2)
+SELECT doc_id, {rep_cols} FROM a GROUP BY 1"""
+
+    # PII scrubbing: the oracle replays the op's exact pattern sequence
+    # (ONE definition in ops.text.PII_PATTERNS; Java-regex and RE2 agree
+    # on these constructs) over identically planted synthetic PII
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import PII_PATTERNS
+
+    pii_plant = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN"
+        " ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.99 card 4111111111111111 tel +1 555-200-3000'"
+        " ELSE '' END"
+    )
+    pii_counts, cur = [], "t"
+    for kind, pat in PII_PATTERNS.items():
+        pii_counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    q["redact_pii"] = f"""
+SELECT doc_id, {", ".join(pii_counts)}, {cur} AS redacted_text
+FROM (SELECT doc_id, {pii_plant} AS t FROM documents)"""
 
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)

@@ -337,6 +337,91 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(structured, max_df=1)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per doc, the fraction of word
+    n-grams (n=1,2,3) taken by the single most frequent n-gram — the
+    standard degenerate-text filter. Output floored to the 1e-4 grid
+    (each frac is one int/int division, exact on both engines; the
+    floor keeps the gate on the proven grid)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = repetition_signals(docs)
+    return r.select(
+        "doc_id",
+        *[
+            (F.floor(F.col(f"top{n}_frac") * 10000) / 10000).alias(f"top{n}_frac4")
+            for n in (1, 2, 3)
+        ],
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic PII (email, ipv4, card
+    number, phone) is planted on every doc_id % 7 == 0, then the
+    sequential count+replace chain runs; the oracle replays the
+    identical pattern sequence (Java-regex and RE2 compatible by
+    construction) on the identically planted text."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".99 card 4111111111111111 tel +1 555-200-3000"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_card", "n_phone", "redacted_text"
+    )
+
+
+def q_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pre-training data funnel as one composed job:
+    quality gate -> language gate -> exact-dedup keeper (curate) ∩
+    repetition gate (top-2-gram fraction <= 0.15 on the floored grid) ∩
+    decontamination gate (eval-overlap < 0.5) -> token-budget selection
+    over the survivors. Every stage is an existing operator; the gates
+    run as semi-joins on doc_id, so the expensive budget phase sees
+    only surviving docs. The oracle recomputes the whole funnel in SQL."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import decontaminate
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import (
+        curate,
+        repetition_signals,
+        token_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = curate(docs, min_quality=0.5, langs=("en",)).select("doc_id")
+    rep_ok = (
+        repetition_signals(docs)
+        .where((F.floor(F.col("top2_frac") * 10000) / 10000) <= 0.15)
+        .select("doc_id")
+    )
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    dec_ok = (
+        decontaminate(docs, ev, threshold=0.5, shingle_hash="raw")
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    survivors = (
+        docs.join(kept, "doc_id", "semi")
+        .join(rep_ok, "doc_id", "semi")
+        .join(dec_ok, "doc_id", "semi")
+    )
+    return token_budget(survivors, budget=8_000)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -773,3 +773,72 @@ def test_paragraph_dedup_within_doc_repeat_not_boilerplate(spark):
     out = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
     assert out[1].clean_text == "echo me\n\necho me\n\nother"
     assert out[1].n_kept == 3
+
+
+# ----------------------------------------------- repetition signals
+
+
+def test_repetition_signals_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),
+         (2, "alpha beta gamma delta"),
+         (3, "hi")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.repetition_signals(df).collect()}
+    # doc 1: 'buy' 4/8 unigrams; 'buy now' 4/7 bigrams; trigram 3/6
+    assert r[1].top1_frac == 0.5
+    assert abs(r[1].top2_frac - 4 / 7) < 1e-12
+    assert r[1].top3_frac == 0.5
+    # doc 2: all distinct -> 1/n_grams each
+    assert r[2].top1_frac == 0.25 and r[2].top3_frac == 0.5
+    # doc 3: one token; no 2- or 3-grams -> 0.0 by contract
+    assert r[3].top1_frac == 1.0 and r[3].top2_frac == 0.0 and r[3].top3_frac == 0.0
+
+
+def test_repetition_signals_ranks_repetitive_corpus_docs(spark, docs):
+    """Sanity on the real corpus: every frac lies in [0,1] and is at
+    least the uniform floor 1/#grams (no cross-n monotonicity exists:
+    'a b a b' has top1=0.5 but top2=2/3 — different denominators)."""
+    rows = textops.repetition_signals(docs.limit(100)).collect()
+    assert all(0 < r.top1_frac <= 1.0 for r in rows)
+    assert all(0 <= r.top2_frac <= 1.0 and 0 <= r.top3_frac <= 1.0 for r in rows)
+    # tiny-vocabulary word salads repeat unigrams well above the
+    # ~1/n_tokens uniform floor (docs are ~50 tokens -> floor ~0.02)
+    assert sum(r.top1_frac >= 0.05 for r in rows) > 90
+
+
+# ------------------------------------------------------ PII redaction
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@corp.io ip 10.1.2.3 card 4111111111111111 tel +1 555-200-3000 end")],
+        "doc_id long, text string",
+    )
+    r = textops.redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ipv4, r.n_card, r.n_phone) == (1, 1, 1, 1)
+    assert r.redacted_text == "mail [EMAIL] ip [IPV4] card [CARD] tel [PHONE] end"
+    assert r.text == df.collect()[0].text  # input column untouched
+
+
+def test_redact_pii_ordering_prevents_double_count(spark):
+    """A card number's digits must be consumed by the card pass, not
+    recounted as a phone; an email's digits never reach later passes."""
+    df = spark.createDataFrame(
+        [(1, "call 4111111111111111 now"),
+         (2, "user123456789@example.com wrote"),
+         (3, "dial 555-123-4567 today")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in textops.redact_pii(df).collect()}
+    assert r[1].n_card == 1 and r[1].n_phone == 0
+    assert r[2].n_email == 1 and r[2].n_phone == 0 and r[2].n_card == 0
+    assert r[3].n_phone == 1 and r[3].redacted_text == "dial [PHONE] today"
+
+
+def test_redact_pii_clean_text_unchanged(spark, docs):
+    out = textops.redact_pii(docs.limit(30))
+    rows = out.collect()
+    assert all(r.redacted_text == r.text for r in rows)  # corpus has no PII
+    assert all(r.n_email == 0 and r.n_phone == 0 for r in rows)
