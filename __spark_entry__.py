@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q.q_repetition,
         "redact_pii": q.q_redact_pii,
         "full_curation": q.q_full_curation,
+        "hash_split": q.q_hash_split,
+        "stratified_sample": q.q_stratified_sample,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -829,6 +829,36 @@ SELECT doc_id, {rep_cols} FROM a GROUP BY 1"""
 SELECT doc_id, {", ".join(pii_counts)}, {cur} AS redacted_text
 FROM (SELECT doc_id, {pii_plant} AS t FROM documents)"""
 
+    # deterministic sampling/splitting: the md5 unit-hash is the
+    # round-4-proven bit-identical chain; boundaries come from the SAME
+    # split_boundaries helper the operator uses, repr'd into SQL so the
+    # cumulative-float comparison is bit-equal on both engines
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import (
+        DENOM,
+        split_boundaries,
+    )
+
+    def _u_sql(seed: int) -> str:
+        return (
+            f"(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{seed}'),"
+            f" 1, 8) AS BIGINT) % {DENOM}) / {float(DENOM)!r}"
+        )
+
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens_split = " ".join(
+        f"WHEN u < {ub!r} THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    q["hash_split"] = f"""
+SELECT doc_id, CASE {whens_split} ELSE '{bounds[-1][0]}' END AS split
+FROM (SELECT doc_id, {_u_sql(42)} AS u FROM documents)"""
+
+    q["stratified_sample"] = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_u_sql(7)} AS u,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS frac
+      FROM documents)
+WHERE u < frac"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

@@ -422,6 +422,35 @@ def q_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget(survivors, budget=8_000)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (0.8/0.1/0.1) keyed on
+    the id hash — reproducible on any cluster size or partitioning,
+    unlike df.sample(). md5 variant so the oracle recomputes the exact
+    assignment; the xxhash64 production variant is distribution-tested
+    in pytest."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return hash_split(docs, w, hash_fn="md5").select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 0.5, de 0.25, rest
+    0.1) — the corpus-mixing primitive; kept set is a pure function of
+    (id, seed)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, strata_col="lang", default=0.1,
+        seed=7, hash_fn="md5",
+    )
+    return keep.select("doc_id", "lang")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

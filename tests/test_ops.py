@@ -842,3 +842,58 @@ def test_redact_pii_clean_text_unchanged(spark, docs):
     rows = out.collect()
     assert all(r.redacted_text == r.text for r in rows)  # corpus has no PII
     assert all(r.n_email == 0 and r.n_phone == 0 for r in rows)
+
+
+# --------------------------------------------- deterministic sampling
+
+
+def test_hash_split_total_deterministic_and_weighted(spark, docs):
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs, w).select("doc_id", "split").collect()}
+    # total assignment: every doc gets exactly one split
+    assert len(a) == docs.count() and set(a.values()) <= set(w)
+    # deterministic under repartitioning (the df.sample failure mode)
+    b = {r.doc_id: r.split
+         for r in sampling.hash_split(docs.repartition(7), w).select("doc_id", "split").collect()}
+    assert a == b
+    # weights hold approximately (500 docs, binomial tolerance)
+    n = len(a)
+    assert abs(sum(v == "train" for v in a.values()) / n - 0.8) < 0.08
+    assert abs(sum(v == "val" for v in a.values()) / n - 0.1) < 0.06
+    # a different seed reshuffles assignments
+    c = {r.doc_id: r.split
+         for r in sampling.hash_split(docs, w, seed=99).select("doc_id", "split").collect()}
+    assert c != a
+
+
+def test_stratified_sample_fractions_and_nesting(spark, docs):
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    half = sampling.stratified_sample(docs, {"en": 0.5}, "lang", default=1.0)
+    quarter = sampling.stratified_sample(docs, {"en": 0.25}, "lang", default=1.0)
+    half_ids = {r.doc_id for r in half.select("doc_id").collect()}
+    quarter_ids = {r.doc_id for r in quarter.select("doc_id").collect()}
+    # nested: the 25% sample is a subset of the 50% sample (same seed)
+    assert quarter_ids <= half_ids
+    n_en = docs.where("lang = 'en'").count()
+    n_other = docs.where("lang <> 'en' OR lang IS NULL").count()
+    kept_en = half.where("lang = 'en'").count()
+    # non-en strata keep default=1.0 -> all retained
+    assert half.count() - kept_en == n_other
+    assert abs(kept_en / n_en - 0.5) < 0.12
+
+
+def test_sampling_variants_are_pure_column_functions(spark, docs):
+    """Both hash variants assign identically across independent plans
+    (pure function of (id, seed)) — and never depend on row order."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    for fn in ("xxhash64", "md5"):
+        a = {r.doc_id: r.split for r in sampling.hash_split(
+            docs, {"a": 0.5, "b": 0.5}, hash_fn=fn).select("doc_id", "split").collect()}
+        b = {r.doc_id: r.split for r in sampling.hash_split(
+            docs.orderBy(F.desc("doc_id")), {"a": 0.5, "b": 0.5},
+            hash_fn=fn).select("doc_id", "split").collect()}
+        assert a == b
