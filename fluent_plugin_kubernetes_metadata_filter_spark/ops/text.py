@@ -136,58 +136,50 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def token_budget(df: DataFrame, budget: int, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Select the best docs until a token budget is exhausted: order by
-    (floored quality desc, id asc — a total order), take docs while the
-    RUNNING token total stays within ``budget``.
+def pinned_prefix_sum(d: DataFrame, order_cols: list, value_col: str,
+                      cum_col: str = "cum") -> DataFrame:
+    """Exact GLOBAL running sum of ``value_col`` over the total order
+    ``order_cols``, distributed — the primitive behind token-budget
+    selection and sequence packing.
 
-    Scalable exact prefix sum in two phases instead of a global-order
-    window (which Spark executes in ONE partition): range-repartition
-    on the sort key so partitions are globally ordered, compute each
-    partition's token subtotal (a tiny driver-side map, O(#partitions)),
-    then a per-partition cumulative window offset by the preceding
-    partitions' subtotals. Every stage is distributed; the only
-    driver-side state is one number per partition.
+    Two phases instead of a global-order window (which Spark executes
+    in ONE partition): range-repartition on the sort key so partitions
+    are globally ordered, collect each partition's subtotal (a tiny
+    driver-side map, O(#partitions)), then a per-partition cumulative
+    window offset by the preceding partitions' subtotals. Every stage
+    is distributed; the only driver-side state is one number per
+    partition.
 
-    The subtotal job and the final output job MUST see the same
-    physical partitioning. ``repartitionByRange`` re-samples boundary
-    values per execution (its contract says output "may not be
-    consistent"), and AQE may coalesce partitions differently per run,
-    so the partitioned frame is materialized once with
-    ``localCheckpoint`` before either job reads it — this also makes
-    the quality-scoring scan execute exactly once. A pid that somehow
-    misses the offset map raises rather than yielding NULL."""
+    The subtotal job and the output job MUST see the same physical
+    partitioning. ``repartitionByRange`` re-samples boundary values per
+    execution (its contract says output "may not be consistent"), and
+    AQE may coalesce partitions differently per run, so the partitioned
+    frame is materialized once with ``localCheckpoint`` before either
+    job reads it — this also makes everything upstream of ``d`` execute
+    exactly once. A pid that somehow misses the offset map raises
+    rather than yielding NULL. localCheckpoint loss (executor death)
+    fails the job loudly — never silently wrong.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker)
+    or per-row cum values within a tie group are arbitrary."""
     from pyspark.sql import Window
 
-    q = quality_score(token_counts(df, text_col), text_col)
-    d = q.select(
-        F.col(id_col),
-        (F.floor(F.col("quality_score") * 10000) / 10000).alias("q4"),
-        F.col("n_tokens_ws").alias("n_tokens"),
-    )
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    d = d.repartitionByRange(nparts, F.desc("q4"), F.asc(id_col))
+    nparts = d.sparkSession.sparkContext.defaultParallelism
+    d = d.repartitionByRange(nparts, *order_cols)
     d = d.withColumn("_pid", F.spark_partition_id())
-    # Pin ONE physical partitioning for both the subtotal job and the
-    # output job, and run the scoring pass once. localCheckpoint loss
-    # (executor death) fails the job loudly — never silently wrong.
     d = d.localCheckpoint(eager=True)
-    # O(#partitions) driver map: each partition's token subtotal
-    offsets_rows = (
-        d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
-    )
+    # O(#partitions) driver map: each partition's subtotal
+    offsets_rows = d.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     totals = {r["_pid"]: r["s"] for r in offsets_rows}
     prefix = {}
     acc = 0
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    if not prefix:  # empty input: no map to build, nothing to select
-        return d.where(F.lit(False)).select(
-            id_col, "q4", F.col("n_tokens"),
-            F.col("n_tokens").alias("cum_tokens"),
-        )
+    if not prefix:  # empty input: no map to build, nothing to emit
+        return d.where(F.lit(False)).withColumn(
+            cum_col, F.col(value_col).cast("bigint")
+        ).drop("_pid")
     pmap = F.create_map(
         *[c for pid, off in prefix.items()
           for c in (F.lit(pid), F.lit(off).cast("bigint"))]
@@ -196,20 +188,66 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
         pmap[F.col("_pid")],
         F.raise_error(
             F.concat(
-                F.lit("token_budget: partition id not in offset map: "),
+                F.lit("pinned_prefix_sum: partition id not in offset map: "),
                 F.col("_pid").cast("string"),
             )
         ).cast("bigint"),
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(F.desc("q4"), F.asc(id_col))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return d.withColumn(cum_col, F.sum(value_col).over(w) + offset).drop("_pid")
+
+
+def token_budget(df: DataFrame, budget: int, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Select the best docs until a token budget is exhausted: order by
+    (floored quality desc, id asc — a total order), take docs while the
+    RUNNING token total stays within ``budget``. The running total is
+    the distributed ``pinned_prefix_sum`` (see there for the scale and
+    consistency contract)."""
+    q = quality_score(token_counts(df, text_col), text_col)
+    d = q.select(
+        F.col(id_col),
+        (F.floor(F.col("quality_score") * 10000) / 10000).alias("q4"),
+        F.col("n_tokens_ws").alias("n_tokens"),
+    )
+    c = pinned_prefix_sum(
+        d, [F.desc("q4"), F.asc(id_col)], "n_tokens", cum_col="cum_tokens"
+    )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w) + offset)
-        .where(F.col("cum_tokens") <= budget)
+        c.where(F.col("cum_tokens") <= budget)
         .select(id_col, "q4", "n_tokens", "cum_tokens")
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """GPT-style concat-and-chunk layout: lay documents end-to-end in
+    id order and cut the token stream into fixed ``seq_len`` training
+    sequences. Returns per doc its token count, its byte-stream-like
+    ``start_offset`` in the global token stream, and ``bin_id`` =
+    which training sequence the doc STARTS in (start_offset div
+    seq_len) — the assignment a sharded packing writer needs to route
+    each doc to its output shard deterministically.
+
+    The global offsets come from the distributed ``pinned_prefix_sum``
+    over (id) order; everything else is arithmetic. Deterministic for a
+    given corpus on any cluster size."""
+    d = token_counts(df, text_col).select(
+        F.col(id_col), F.col("n_tokens_ws").alias("n_tokens")
+    )
+    c = pinned_prefix_sum(d, [F.asc(id_col)], "n_tokens", cum_col="_cum")
+    start = (F.col("_cum") - F.col("n_tokens")).alias("start_offset")
+    return c.select(
+        id_col,
+        "n_tokens",
+        start,
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(seq_len))
+        .cast("bigint")
+        .alias("bin_id"),
     )
 
 

@@ -685,6 +685,21 @@ c AS (
 )
 SELECT doc_id, q4, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000"""
 
+    # concat-and-chunk packing: global offsets by windowed running sum
+    q["pack_sequences"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({toks_l}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+       (cum - n_tokens) // 512 AS bin_id
+FROM c"""
+
     # the COMPLETE funnel: curation keepers ∩ repetition gate ∩
     # decontamination gate -> windowed token budget over survivors
     q["full_curation"] = f"""

@@ -451,6 +451,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id", "lang")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: global token-stream offset and
+    starting training-sequence id (seq_len 512) per doc, via the
+    distributed pinned prefix sum; the oracle is a plain windowed
+    cumulative sum over the same order."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -897,3 +897,29 @@ def test_sampling_variants_are_pure_column_functions(spark, docs):
             docs.orderBy(F.desc("doc_id")), {"a": 0.5, "b": 0.5},
             hash_fn=fn).select("doc_id", "split").collect()}
         assert a == b
+
+
+def test_pack_sequences_layout(spark):
+    """3 docs x 5 tokens, seq_len 7: starts 0/5/10 -> bins 0/0/1, and
+    offsets are contiguous (each start = previous start + n_tokens)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j"), (3, "k l m n o")],
+        "doc_id long, text string",
+    )
+    rows = sorted(textops.pack_sequences(df, seq_len=7).collect())
+    assert [(r.doc_id, r.start_offset, r.bin_id) for r in rows] == [
+        (1, 0, 0), (2, 5, 0), (3, 10, 1)]
+    assert all(r.n_tokens == 5 for r in rows)
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, textops.pack_sequences(docs, 512).collect()))
+    b = sorted(map(tuple, textops.pack_sequences(docs.repartition(5), 512).collect()))
+    assert a == b
+    # contiguity over the whole corpus: sum of n_tokens == last cum
+    by_start = sorted(a, key=lambda t: t[2])
+    acc = 0
+    for (_id, n, start, _bin) in by_start:
+        assert start == acc
+        acc += n
