@@ -266,11 +266,16 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
 
     Scale shape: computing a per-doc MODE is not expression-friendly
     (an array-lambda formulation is O(tokens^2) interpreted per row),
-    so all requested n-gram lengths are tagged and exploded ONCE, then
-    two map-side-combined groupBys — (doc, n, gram) counts, then
-    (doc, n) max/total — and a final pivot-style groupBy(doc) that
-    reuses the second aggregation's doc-clustered partitioning. Three
-    exchanges at n-gram grain, no Python, no unbounded buffers."""
+    so all requested n-gram lengths are tagged and exploded ONCE after
+    an explicit repartition on the doc id. That repartition is the
+    job's ONLY exchange — and it carries doc-grain rows (raw text),
+    not n-gram grain: hash partitioning on id satisfies every
+    downstream grouping ((id,n,gram) counts, (id,n) max/total, the
+    (id) pivot) because the partitioning key is a subset of each
+    grouping key, so all three aggregations run partition-local.
+    Without the repartition the same plan costs three exchanges at
+    n-gram grain — strictly more bytes than the documents themselves.
+    Plan-asserted in tests. No Python, no unbounded buffers."""
     tk = tokens(F.col(text_col))
     gram_struct = "array<struct<n:int,gram:string>>"
 
@@ -294,11 +299,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                 F.transform(F.sequence(F.lit(1), F.size(tk) - (n - 1)), gram_maker(n)),
             ).otherwise(F.array().cast(gram_struct))
         per_n.append(grams)
-    # n-gram expansion is ~100x work per input byte: re-parallelize
-    # small scans like the other text-expansion ops (no-op at scale)
-    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
-
-    df = _spread(df, id_col)
+    # one doc-grain exchange buys exchange-free aggregation everywhere
+    # below (see docstring); also spreads small scans across cores
+    p = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(max(p, df.rdd.getNumPartitions()), id_col)
     g = df.select(
         F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))

@@ -923,3 +923,18 @@ def test_pack_sequences_partitioning_independent(spark):
     for (_id, n, start, _bin) in by_start:
         assert start == acc
         acc += n
+
+
+def test_repetition_signals_single_doc_grain_exchange(spark, docs):
+    """The explicit doc-id repartition must be the ONLY exchange: hash
+    partitioning on id is a subset of every downstream grouping key, so
+    the (id,n,gram) counts, (id,n) fracs, and (id) pivot all aggregate
+    partition-locally."""
+    import re
+
+    plan = (
+        textops.repetition_signals(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan
