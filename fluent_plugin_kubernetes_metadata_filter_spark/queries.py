@@ -402,20 +402,32 @@ def q_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = curate(docs, min_quality=0.5, langs=("en",)).select("doc_id")
+    # materialize ONE doc-grain base for the whole funnel: the three
+    # gate branches and the budget phase are separate DataFrame
+    # branches, and Spark re-executes the scan (and everything built on
+    # it) per branch — 5 passes over the corpus text without this. The
+    # id-repartition also pre-pays the partitioning repetition_signals
+    # and the budget's window want. At 100 TB this is the standard
+    # materialize-vs-rescan trade: one corpus-sized local materialization
+    # buys four eliminated re-scans of scored text.
+    p = spark.sparkContext.defaultParallelism
+    base = docs.repartition(
+        max(p, docs.rdd.getNumPartitions()), "doc_id"
+    ).localCheckpoint()
+    kept = curate(base, min_quality=0.5, langs=("en",)).select("doc_id")
     rep_ok = (
-        repetition_signals(docs)
+        repetition_signals(base)
         .where((F.floor(F.col("top2_frac") * 10000) / 10000) <= 0.15)
         .select("doc_id")
     )
-    ev = docs.where(F.col("doc_id") % 97 == 0)
+    ev = base.where(F.col("doc_id") % 97 == 0)
     dec_ok = (
-        decontaminate(docs, ev, threshold=0.5, shingle_hash="raw")
+        decontaminate(base, ev, threshold=0.5, shingle_hash="raw")
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
     survivors = (
-        docs.join(kept, "doc_id", "semi")
+        base.join(kept, "doc_id", "semi")
         .join(rep_ok, "doc_id", "semi")
         .join(dec_ok, "doc_id", "semi")
     )

@@ -105,15 +105,20 @@ docs = spark.read.parquet(f"{probe_dir}/documents.parquet")
 n_docs = docs.count()  # warm JVM (page cache pre-faulted by the parent)
 
 def funnel():
-    # q_full_curation's exact composition, constant config at any level
-    kept = curate(docs, min_quality=0.5, langs=("en",)).select("doc_id")
-    rep_ok = (repetition_signals(docs)
+    # q_full_curation's exact composition, constant config at any
+    # level: ONE materialized doc-grain base feeds every gate branch
+    # (without it each branch re-scans and re-derives the corpus text)
+    p = spark.sparkContext.defaultParallelism
+    base = docs.repartition(
+        max(p, docs.rdd.getNumPartitions()), "doc_id").localCheckpoint()
+    kept = curate(base, min_quality=0.5, langs=("en",)).select("doc_id")
+    rep_ok = (repetition_signals(base)
               .where((F.floor(F.col("top2_frac") * 10000) / 10000) <= 0.15)
               .select("doc_id"))
-    ev = docs.where(F.col("doc_id") % 97 == 0)
-    dec_ok = (decontaminate(docs, ev, threshold=0.5)
+    ev = base.where(F.col("doc_id") % 97 == 0)
+    dec_ok = (decontaminate(base, ev, threshold=0.5)
               .where(~F.col("contaminated")).select("doc_id"))
-    surv = (docs.join(kept, "doc_id", "semi")
+    surv = (base.join(kept, "doc_id", "semi")
             .join(rep_ok, "doc_id", "semi")
             .join(dec_ok, "doc_id", "semi"))
     return token_budget(surv, budget=1_000_000_000)
