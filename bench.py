@@ -79,6 +79,7 @@ def query_list(spark, sf_dir):
         ("redact_pii", lambda: noop(q.q_redact_pii(spark, sf_dir))),
         ("full_curation", lambda: noop(q.q_full_curation(spark, sf_dir))),
         ("pack_sequences", lambda: noop(q.q_pack_sequences(spark, sf_dir))),
+        ("seed_similarity", lambda: noop(q.q_seed_similarity(spark, sf_dir))),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),

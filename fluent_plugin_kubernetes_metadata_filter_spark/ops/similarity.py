@@ -361,3 +361,44 @@ def brute_force_topk_gemm(queries: DataFrame, candidates: DataFrame, k: int = 10
     partial = candidates.select(id_col, vec_col).mapInPandas(block, schema)
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def seed_similarity_scores(df: DataFrame, seeds: DataFrame,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           max_seeds: int = 256) -> DataFrame:
+    """Classifier-style quality selection by embedding similarity to a
+    curated SEED set (the GPT-3-lineage curation filter: score every
+    corpus doc by its closest high-quality exemplar, keep the top).
+    Returns ``(id, seed_sim)`` where ``seed_sim`` = max cosine over the
+    seed vectors.
+
+    Scale shape: the seed set is tiny by construction (hand-curated
+    exemplars), so the vectors are collected once (guarded by
+    ``max_seeds`` — raises beyond it) and compiled into the expression
+    tree as literals, like the LSH plane literals: scoring is then a
+    PURE per-row map — zero joins, zero shuffles, rides whatever scan
+    touches the embedding column. Seed norms are pre-computed
+    driver-side (same left-fold double arithmetic the engines use, so
+    the oracle reproduces values exactly); only the doc-side norm is
+    computed per row. For thousands of seeds use the GEMM top-k path
+    (``brute_force_topk_gemm``) instead of expression literals."""
+    import math
+
+    rows = seeds.select(vec_col).limit(max_seeds + 1).collect()
+    if len(rows) > max_seeds:
+        raise ValueError(
+            f"seed_similarity_scores: seed set exceeds max_seeds={max_seeds}; "
+            "use brute_force_topk_gemm for large seed sets"
+        )
+    if not rows:
+        raise ValueError("seed_similarity_scores: empty seed set")
+    v = _as_double(F.col(vec_col))
+    vn = _norm(v)
+    sims = []
+    for r in rows:
+        s = [float(x) for x in r[0]]
+        ns = math.sqrt(sum(x * x for x in s))
+        lit = F.array(*[F.lit(x) for x in s])
+        sims.append(_dot(v, lit) / (vn * F.lit(ns)))
+    best = sims[0] if len(sims) == 1 else F.greatest(*sims)
+    return df.select(F.col(id_col), best.alias("seed_sim"))

@@ -685,6 +685,23 @@ c AS (
 )
 SELECT doc_id, q4, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000"""
 
+    # seed-similarity quality scoring: max cosine to the seed slice,
+    # same double-fold dot/norm arithmetic as the ann/neardup oracles
+    q["seed_similarity"] = """
+WITH d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+),
+s AS (SELECT v, nrm FROM d WHERE vec_id % 101 = 0),
+m AS (
+  SELECT d.vec_id,
+         MAX(list_dot_product(d.v, s.v) / (d.nrm * s.nrm)) AS best
+  FROM d CROSS JOIN s GROUP BY 1
+)
+SELECT vec_id, floor(best * 10000) / 10000 AS seed_sim4 FROM m"""
+
     # concat-and-chunk packing: global offsets by windowed running sum
     q["pack_sequences"] = f"""
 WITH d AS (

@@ -474,6 +474,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=512)
 
 
+def q_seed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style quality scoring: max cosine of every embedding
+    to the vec_id % 101 == 0 seed slice, seeds compiled as expression
+    literals (zero joins/shuffles). Floored to the 1e-4 grid; the
+    oracle recomputes the same double fold over the seed table."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import (
+        seed_similarity_scores,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = emb.where(F.col("vec_id") % 101 == 0)
+    r = seed_similarity_scores(emb, seeds)
+    return r.select(
+        "vec_id", (F.floor(F.col("seed_sim") * 10000) / 10000).alias("seed_sim4")
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -938,3 +938,28 @@ def test_repetition_signals_single_doc_grain_exchange(spark, docs):
     )
     assert len(re.findall(r"Exchange (hash|range)partitioning", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_seed_similarity_scores(spark, emb):
+    """A seed doc scores 1.0 against itself; everyone's score is the
+    max over the seed set and lies in [-1, 1]; the guard raises on
+    oversized and empty seed sets."""
+    seeds = emb.limit(3)
+    r = {x.vec_id: x.seed_sim for x in
+         similarity.seed_similarity_scores(emb.limit(50), seeds).collect()}
+    seed_ids = [x.vec_id for x in seeds.collect()]
+    for sid in seed_ids:
+        assert abs(r[sid] - 1.0) < 1e-9  # self is among the seeds
+    assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in r.values())
+    with pytest.raises(ValueError):
+        similarity.seed_similarity_scores(emb, emb, max_seeds=5)
+    with pytest.raises(ValueError):
+        similarity.seed_similarity_scores(emb, emb.where("vec_id < 0"))
+
+
+def test_seed_similarity_zero_shuffle_plan(spark, emb):
+    plan = (
+        similarity.seed_similarity_scores(emb, emb.limit(3))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
