@@ -510,8 +510,12 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks)
     stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
-    punct = F.length(F.col("text")) - F.length(
-        F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+    # decomposed positive-class counts: Java evaluates negated classes
+    # ~10x slower AND core-scaling collapses (see ops/text.quality_score)
+    punct = (
+        F.length(F.col("text"))
+        - F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]"))
+        - F.regexp_count(F.col("text"), F.lit(r"\s"))
     )
     return docs.select(
         "doc_id",
