@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
         "seed_similarity": q.q_seed_similarity,
+        "paragraph_scrub": q.q_paragraph_scrub,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -793,3 +793,49 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.count(F.when(keep, 1)).alias("n_kept"),
         F.count(F.when(~keep, 1)).alias("n_dropped"),
     )
+
+
+def paragraph_scrub(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n\n",
+                    join_sep: str | None = None) -> DataFrame:
+    """Span-level decontamination: remove every paragraph whose
+    normalized content appears ANYWHERE in the eval set, and reassemble
+    the doc — the surgical variant of ``decontaminate`` (which flags
+    whole docs) for corpora too valuable to drop wholesale when only a
+    quoted benchmark item contaminates them.
+
+    Returns ``(id, clean_text, n_kept, n_scrubbed)`` for EVERY input
+    doc. Scale shape: the eval paragraph-fingerprint set is small by
+    nature and BROADCAST (like ``decontaminate``'s shingle set); the
+    corpus side explodes to paragraph grain, probes the broadcast set
+    with a LEFT join, and re-aggregates to doc grain — the only
+    corpus-side exchange is the doc-grain reassembly groupBy, whose
+    collect_list is bounded by a single document's paragraph count."""
+    if join_sep is None:
+        join_sep = sep
+
+    def norm_fp(c):
+        return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+    ev = (
+        eval_df.select(F.explode(F.split(F.col(text_col), sep)).alias("p"))
+        .select(norm_fp(F.col("p")).alias("_pfp"))
+        .distinct()
+        .withColumn("_bad", F.lit(1))
+    )
+    p = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("_pfp", norm_fp(F.col("para")))
+    j = p.join(F.broadcast(ev), "_pfp", "left")
+    keep = F.col("_bad").isNull()
+    kept_paras = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("pos", "para")))
+    )
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept_paras, lambda s: s["para"]), join_sep
+        ).alias("clean_text"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~keep, 1)).alias("n_scrubbed"),
+    )

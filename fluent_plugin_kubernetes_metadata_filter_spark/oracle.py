@@ -891,6 +891,32 @@ FROM (SELECT doc_id, lang, {_u_sql(7)} AS u,
       FROM documents)
 WHERE u < frac"""
 
+    # span-level decontamination: same 10-word chunking; chunks whose
+    # normalized fingerprint appears in the eval slice are scrubbed
+    q["paragraph_scrub"] = """
+WITH ptoks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents
+),
+paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tk[((i-1)*10+1):((i-1)*10+10)], ' ') AS para
+  FROM ptoks,
+       unnest(generate_series(1, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS t(i)
+),
+pf AS (
+  SELECT doc_id, pos, para,
+         md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS fp
+  FROM paras
+),
+bad AS (SELECT DISTINCT fp AS bfp FROM pf WHERE doc_id % 97 = 0)
+SELECT doc_id,
+       COALESCE(string_agg(para, e'\\n\\n' ORDER BY pos)
+                FILTER (WHERE bfp IS NULL), '') AS clean_text,
+       COUNT(*) FILTER (WHERE bfp IS NULL) AS n_kept,
+       COUNT(*) FILTER (WHERE bfp IS NOT NULL) AS n_scrubbed
+FROM pf LEFT JOIN bad ON pf.fp = bad.bfp
+GROUP BY 1"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

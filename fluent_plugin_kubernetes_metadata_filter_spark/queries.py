@@ -491,6 +491,26 @@ def q_seed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: docs re-chunked into 10-word
+    pseudo-paragraphs, every chunk appearing anywhere in the
+    doc_id % 97 == 0 eval slice is scrubbed, docs reassembled in order
+    (whole-doc flagging stays in `decontaminate`; this is the surgical
+    variant)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import paragraph_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    nch = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 10 + 1, 10)),
+    )
+    structured = docs.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    ev = structured.where(F.col("doc_id") % 97 == 0)
+    return paragraph_scrub(structured, ev)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -963,3 +963,33 @@ def test_seed_similarity_zero_shuffle_plan(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_paragraph_scrub_removes_eval_spans(spark):
+    """Paragraphs present in the eval set are scrubbed from every doc
+    (normalized matching); untouched docs pass through whole; an
+    all-contaminated doc survives with empty text."""
+    corpus = spark.createDataFrame(
+        [(1, "own words here\n\nThe  Eval Question\n\nmore own words"),
+         (2, "totally unrelated doc"),
+         (3, "the eval question")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "intro\n\nthe eval question")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.paragraph_scrub(corpus, ev).collect()}
+    assert out[1].clean_text == "own words here\n\nmore own words"
+    assert out[1].n_scrubbed == 1 and out[1].n_kept == 2
+    assert out[2].clean_text == "totally unrelated doc" and out[2].n_scrubbed == 0
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+
+
+def test_paragraph_scrub_broadcasts_eval_side(spark):
+    corpus = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "b")], "doc_id long, text string")
+    plan = (
+        dedup.paragraph_scrub(corpus, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
