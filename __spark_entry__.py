@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q.q_pack_sequences,
         "seed_similarity": q.q_seed_similarity,
         "paragraph_scrub": q.q_paragraph_scrub,
+        "semantic_dedup": q.q_semantic_dedup,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

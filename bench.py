@@ -75,11 +75,13 @@ def query_list(spark, sf_dir):
         ("token_budget", lambda: noop(q.q_token_budget(spark, sf_dir))),
         ("decontaminate", lambda: noop(q.q_decontaminate(spark, sf_dir))),
         ("paragraph_dedup", lambda: noop(q.q_paragraph_dedup(spark, sf_dir))),
+        ("paragraph_scrub", lambda: noop(q.q_paragraph_scrub(spark, sf_dir))),
         ("repetition", lambda: noop(q.q_repetition(spark, sf_dir))),
         ("redact_pii", lambda: noop(q.q_redact_pii(spark, sf_dir))),
         ("full_curation", lambda: noop(q.q_full_curation(spark, sf_dir))),
         ("pack_sequences", lambda: noop(q.q_pack_sequences(spark, sf_dir))),
         ("seed_similarity", lambda: noop(q.q_seed_similarity(spark, sf_dir))),
+        ("semantic_dedup", lambda: noop(q.q_semantic_dedup(spark, sf_dir))),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),

@@ -225,13 +225,19 @@ def kmeans_centroids(df: DataFrame, dim: int, k: int = 16, n_iter: int = 2,
     return cents
 
 
-def _nearest_centroid(v, cents: list[list[float]]):
+def _nearest_centroid(v, cents: list[list[float]], grid: int | None = None):
     """argmin_i ||v - c_i||^2 at O(1) expression DEPTH: the centroid
     matrix is one literal array-of-arrays, ``transform`` yields all k
     distances as a single array, argmin = position of the min (first
     occurrence, i.e. lowest index on exact ties — identical to a strict
     ``<`` when-chain). A when-chain grows codegen linearly in k and
-    falls out of JIT compilation around k ~ 256; this stays flat."""
+    falls out of JIT compilation around k ~ 256; this stays flat.
+
+    ``grid`` floors each distance to 10^-grid before the argmin so an
+    independent engine computing the same distances with a different
+    floating-point summation order (e.g. the DuckDB oracle's expanded
+    v.v - 2v.c + c.c form) assigns identically — same fixed-point
+    contract as the ANN sims. None (the IVF default) keeps raw doubles."""
     cm = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
     ds = F.transform(
         cm,
@@ -241,6 +247,9 @@ def _nearest_centroid(v, cents: list[list[float]]):
             lambda acc, x: acc + x,
         ),
     )
+    if grid is not None:
+        m = float(10**grid)
+        ds = F.transform(ds, lambda d: F.floor(d * m) / m)
     return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
@@ -291,6 +300,62 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
+                   threshold: float = 0.95, n_iter: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, grid: int = 4,
+                   bucket_cap: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then inside each cluster drop every item that has
+    a LOWER-id neighbor with cosine >= threshold — semantic dedup that
+    catches paraphrases exact/MinHash text dedup cannot, at k-partition
+    cost instead of an all-pairs cross product.
+
+    Returns ``(marked, obs)``: one row per input item —
+    ``(id, cluster, keep)`` — plus the pair-expansion DropObservation
+    when ``bucket_cap`` is set. Deterministic end-to-end: seeds are the
+    k smallest md5(id) vectors, assignment argmin runs on the 10^-grid
+    floored distance (first-index tie-break), the drop rule on the
+    floored cosine with the lower id always surviving.
+
+    Scale shape: assignment is a map-only pass (centroids are literal
+    expressions); the pairwise stage routes through the SAME capped
+    grouped expansion as the text-dedup stack, keyed by cluster id, the
+    vector riding as payload, so the whole op is ONE corpus shuffle plus
+    the id-keyed keep-mark join. Within-cluster work is O((n/k)^2) —
+    k must GROW with the corpus (the paper uses ~11k clusters for
+    LAION-440M; target ~1-10k items/cluster) so each cluster-task stays
+    bounded; ``bucket_cap`` turns a degenerate hot cluster into an
+    observable drop instead of an OOM."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        grouped_pair_expansion,
+    )
+
+    cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
+    v = df.select(F.col(id_col).alias("_sid"), _as_double(F.col(vec_col)).alias("v"))
+    asg = v.withColumn("c", _nearest_centroid(F.col("v"), cents, grid=grid))
+    pairs, obs = grouped_pair_expansion(
+        asg.select("_sid", F.col("c").cast("bigint").alias("ck"), "v"),
+        id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="v",
+    )
+    m = float(10**grid)
+    sim = _dot(F.col("payload_a"), F.col("payload_b")) / (
+        _norm(F.col("payload_a")) * _norm(F.col("payload_b"))
+    )
+    dropped = (
+        pairs.where(F.floor(sim * m) / m >= threshold)
+        .select(F.col("id_b").alias("_sid"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    marked = asg.join(dropped, "_sid", "left").select(
+        F.col("_sid").alias(id_col),
+        F.col("c").alias("cluster"),
+        F.col("_drop").isNull().alias("keep"),
+    )
+    return marked, obs
 
 
 def brute_force_topk_gemm(queries: DataFrame, candidates: DataFrame, k: int = 10,

@@ -917,6 +917,40 @@ SELECT doc_id,
 FROM pf LEFT JOIN bad ON pf.fp = bad.bfp
 GROUP BY 1"""
 
+    # SemDeDup (n_iter=0 variant): seed centroids = the 8 smallest
+    # md5(id) vectors, assignment = argmin of the 1e-4-floored squared
+    # distance (lowest centroid index on ties — Spark's array_position
+    # first-occurrence), drop rule = floored within-cluster cosine
+    q["semantic_dedup"] = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT v AS cv, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS ci
+  FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+d AS (
+  SELECT b.vec_id, b.v, s.ci,
+         floor(list_sum(list_transform(range(1, 65),
+               i -> (b.v[i] - s.cv[i]) * (b.v[i] - s.cv[i]))) * 10000) / 10000 AS dist
+  FROM b CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, v, ci AS c FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ida, bb.vec_id AS idb,
+         floor(list_dot_product(a.v, bb.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+               * 10000) / 10000 AS sim
+  FROM asg a JOIN asg bb ON a.c = bb.c AND a.vec_id < bb.vec_id
+),
+dropped AS (SELECT DISTINCT idb FROM pairs WHERE sim >= 0.2)
+SELECT asg.vec_id, asg.c AS cluster, (dropped.idb IS NULL) AS keep
+FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.idb"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

@@ -511,6 +511,20 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_scrub(structured, ev)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means clusters (n_iter=0
+    — the seed-centroid quantizer, so the DuckDB oracle replays
+    assignment exactly with no float-averaging drift; the Lloyd-refined
+    production default is pinned by unit tests), then within-cluster
+    cosine >= 0.2 drops the higher id. Emits every item's cluster and
+    keep flag."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    marked, _ = semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2, n_iter=0)
+    return marked.select("vec_id", "cluster", "keep")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -984,6 +984,42 @@ def test_paragraph_scrub_removes_eval_spans(spark):
     assert out[3].clean_text == "" and out[3].n_kept == 0
 
 
+def test_semantic_dedup_drops_planted_duplicates(spark, emb):
+    """A copy and a scaled copy of vec 7 (cosine 1.0) land in vec 7's
+    cluster and are dropped; vec 7 itself (lowest id) survives — under
+    the PRODUCTION config (Lloyd-refined centroids, n_iter=2)."""
+    v7 = emb.where("vec_id = 7").select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    scaled = emb.where("vec_id = 7").select(
+        F.lit(9002).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    df = emb.union(v7).union(scaled)
+    marked, obs = similarity.semantic_dedup(df, dim=64, n_clusters=4,
+                                            threshold=0.999, n_iter=2)
+    assert obs is None  # no cap requested
+    rows = {r.vec_id: r for r in marked.collect()}
+    assert rows[7].keep and not rows[9001].keep and not rows[9002].keep
+    assert rows[7].cluster == rows[9001].cluster == rows[9002].cluster
+    assert len(rows) == df.count()  # one verdict per input item
+
+
+def test_semantic_dedup_seed_quantizer_agrees_on_planted(spark, emb):
+    """The oracle-gated n_iter=0 seed quantizer reaches the same
+    verdicts on planted exact duplicates as the refined production
+    config — identical vectors always share a cluster."""
+    v7 = emb.where("vec_id = 7").select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    df = emb.union(v7)
+    marked, _ = similarity.semantic_dedup(df, dim=64, n_clusters=4,
+                                          threshold=0.999, n_iter=0)
+    rows = {r.vec_id: r for r in marked.collect()}
+    assert rows[7].keep and not rows[9001].keep
+
+
 def test_paragraph_scrub_broadcasts_eval_side(spark):
     corpus = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
     ev = spark.createDataFrame([(9, "b")], "doc_id long, text string")
