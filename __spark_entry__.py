@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_similarity": q.q_seed_similarity,
         "paragraph_scrub": q.q_paragraph_scrub,
         "semantic_dedup": q.q_semantic_dedup,
+        "domain_mix": q.q_domain_mix,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -74,6 +74,62 @@ def hash_split(df: DataFrame, weights: dict[str, float], id_col: str = "doc_id",
     return df.withColumn(split_col, expr)
 
 
+def normalized_targets(targets: dict[str, float]) -> dict[str, float]:
+    """Target shares normalized to sum 1, in dict order. ONE definition
+    shared by ``domain_mix`` and the SQL oracle generator so the float
+    literals are bit-identical on both engines."""
+    total = float(sum(targets.values()))
+    if total <= 0:
+        raise ValueError("targets must sum to a positive value")
+    return {k: v / total for k, v in targets.items()}
+
+
+def domain_mix(df: DataFrame, targets: dict[str, float], domain_col: str,
+               weight_col: str | None = None, budget: float | None = None,
+               id_col: str = "doc_id", seed: int = 42,
+               hash_fn: str = "xxhash64") -> DataFrame:
+    """Downsample to a target domain mixture (the corpus-mixing step of
+    a pretraining pipeline: e.g. "40% web, 30% code, 30% books" by
+    tokens): from the OBSERVED per-domain mass (row count, or
+    ``sum(weight_col)`` — pass a token count for token-weighted mixing)
+    compute the largest total ``T`` the targets permit WITHOUT
+    upsampling any domain (``T = min_d mass_d / share_d``, further
+    capped by ``budget``), then keep each row with probability
+    ``share_d * T / mass_d`` deterministically by id hash. Domains not
+    in ``targets`` are dropped; the binding domain (the scarcest
+    relative to its share) is kept whole.
+
+    Scale shape: one map-side-combined aggregation collecting
+    O(#domains) masses to the driver, then a pure expression filter
+    that rides the scan — no corpus shuffle. Determinism: the kept set
+    is a property of (id, seed, targets, observed masses) only, so
+    reruns and cluster-size changes reproduce it exactly."""
+    shares = normalized_targets(targets)
+    mass_expr = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    masses = {
+        r["d"]: r["m"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(mass_expr.alias("m"))
+        .collect()
+        if r["d"] in shares
+    }
+    missing = [d for d in shares if d not in masses or not masses[d] > 0]
+    if missing:
+        raise ValueError(f"target domains absent from corpus: {missing}")
+    t = min(masses[d] / shares[d] for d in shares)
+    if budget is not None:
+        t = min(t, float(budget))
+    u = unit_hash(id_col, seed, hash_fn)
+    rate = F.lit(0.0)
+    for d in shares:
+        rate = F.when(
+            F.col(domain_col) == d, F.lit(shares[d] * t / masses[d])
+        ).otherwise(rate)
+    return df.where(u < rate)
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       strata_col: str, default: float = 0.0,
                       id_col: str = "doc_id", seed: int = 42,

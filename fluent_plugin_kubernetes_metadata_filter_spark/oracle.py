@@ -867,6 +867,7 @@ FROM (SELECT doc_id, {pii_plant} AS t FROM documents)"""
     # cumulative-float comparison is bit-equal on both engines
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import (
         DENOM,
+        normalized_targets,
         split_boundaries,
     )
 
@@ -890,6 +891,28 @@ FROM (SELECT doc_id, lang, {_u_sql(7)} AS u,
              CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS frac
       FROM documents)
 WHERE u < frac"""
+
+    # token-weighted domain mixing: masses recomputed from the data,
+    # T = min(mass/share) (binding domain kept whole), rate arithmetic
+    # mirrors the operator's (share * t) / mass exactly (IEEE doubles
+    # with identical operand order), keep decided on the shared md5
+    # unit-hash grid
+    shares = normalized_targets({"en": 0.6, "de": 0.25, "fr": 0.15})
+    shares_vals = ", ".join(f"('{d}', {s!r})" for d, s in shares.items())
+    q["domain_mix"] = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+         {_u_sql(13)} AS u
+  FROM documents
+),
+sh(d, share) AS (SELECT * FROM (VALUES {shares_vals})),
+m AS (SELECT lang, CAST(SUM(tok) AS DOUBLE) AS mass FROM w GROUP BY lang),
+r AS (
+  SELECT lang, (share * (SELECT MIN(mass / share) FROM m JOIN sh ON m.lang = sh.d)) / mass AS rate
+  FROM m JOIN sh ON m.lang = sh.d
+)
+SELECT w.doc_id, w.lang FROM w JOIN r ON w.lang = r.lang WHERE w.u < r.rate"""
 
     # span-level decontamination: same 10-word chunking; chunks whose
     # normalized fingerprint appears in the eval slice are scrubbed

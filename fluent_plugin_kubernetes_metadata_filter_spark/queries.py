@@ -511,6 +511,21 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_scrub(structured, ev)
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted domain mixing: downsample to a 60/25/15 en/de/fr
+    token mixture (zh/es dropped), the binding domain kept whole, keeps
+    decided by the md5 id hash the oracle recomputes bit-identically."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("doc_id", "lang", toks.alias("_w"))
+    return domain_mix(
+        d, {"en": 0.6, "de": 0.25, "fr": 0.15}, domain_col="lang",
+        weight_col="_w", seed=13, hash_fn="md5",
+    ).select("doc_id", "lang")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means clusters (n_iter=0
     — the seed-centroid quantizer, so the DuckDB oracle replays

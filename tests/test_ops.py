@@ -885,6 +885,44 @@ def test_stratified_sample_fractions_and_nesting(spark, docs):
     assert abs(kept_en / n_en - 0.5) < 0.12
 
 
+def test_domain_mix_hits_target_mixture(spark, docs):
+    """Token-weighted mixing: the binding domain (scarcest relative to
+    its share) is kept whole, unlisted domains are dropped, the kept
+    token mixture approximates the targets, a budget scales everything
+    down, and keeps are stable under repartitioning."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    targets = {"en": 0.6, "de": 0.25, "fr": 0.15}
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("doc_id", "lang", toks.alias("w"))
+    masses = {r.lang: r.m for r in d.groupBy("lang").agg(F.sum("w").alias("m")).collect()}
+    shares = sampling.normalized_targets(targets)
+    binding = min(shares, key=lambda k: masses[k] / shares[k])
+
+    out = sampling.domain_mix(d, targets, "lang", weight_col="w")
+    kept = {r.lang: r.m for r in out.groupBy("lang").agg(F.sum("w").alias("m")).collect()}
+    assert set(kept) == set(targets)  # zh/es dropped entirely
+    assert kept[binding] == masses[binding]  # binding domain kept whole
+    total = sum(kept.values())
+    for dd, s in shares.items():  # achieved token mixture ~ targets
+        assert abs(kept[dd] / total - s) < 0.08, (dd, kept[dd] / total, s)
+
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {r.doc_id for r in
+             sampling.domain_mix(d.repartition(7), targets, "lang",
+                                 weight_col="w").select("doc_id").collect()}
+    assert ids == again  # property of the data, not the plan
+
+    t_free = min(masses[k] / shares[k] for k in shares)
+    capped = sampling.domain_mix(d, targets, "lang", weight_col="w",
+                                 budget=t_free / 2)
+    cap_total = capped.agg(F.sum("w")).collect()[0][0]
+    assert cap_total < 0.75 * total  # budget bites
+
+    with pytest.raises(ValueError):
+        sampling.domain_mix(d, {"en": 0.5, "xx": 0.5}, "lang", weight_col="w")
+
+
 def test_sampling_variants_are_pure_column_functions(spark, docs):
     """Both hash variants assign identically across independent plans
     (pure function of (id, seed)) — and never depend on row order."""
