@@ -382,3 +382,46 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             f"n_{kind}", F.regexp_count(F.col(work), F.lit(pat)).cast("bigint")
         ).withColumn(work, F.regexp_replace(F.col(work), pat, f"[{kind.upper()}]"))
     return out.withColumn(out_col, F.col(work)).drop(work)
+
+
+def clean_lines(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                min_words: int = 5, require_terminal_punct: bool = True,
+                ban_substrings: tuple[str, ...] = ("javascript",),
+                min_lines: int = 3,
+                page_ban_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+                sep: str = "\n") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line only if it has >= ``min_words`` words, ends in terminal
+    punctuation (``.!?"``), and contains none of ``ban_substrings``
+    (case-insensitive); then flag the whole page as dropped when fewer
+    than ``min_lines`` lines survive or the raw text contains a
+    ``page_ban_substrings`` marker (the paper's "lorem ipsum" / code-
+    brace heuristics).
+
+    Returns ``(id, clean_text, n_kept, n_dropped, keep)`` for every
+    input doc. Pure higher-order expressions over the split line array
+    — whole-stage codegen, ZERO shuffle, no Python: at 100 TB this is a
+    free rider on the corpus scan, unlike the paragraph-grain ops which
+    need a reassembly exchange (here reassembly is per-row, so no
+    explode ever happens)."""
+    lines = F.split(F.col(text_col), sep)
+
+    def line_keep(line):
+        c = F.size(F.split(F.trim(line), r"\s+")) >= min_words
+        if require_terminal_punct:
+            c = c & F.trim(line).rlike('[.!?"]$')
+        for b in ban_substrings:
+            c = c & ~F.contains(F.lower(line), F.lit(b))
+        return c
+
+    kept = F.filter(lines, line_keep)
+    page_ok = F.size(kept) >= min_lines
+    for p in page_ban_substrings:
+        page_ok = page_ok & ~F.contains(F.lower(F.col(text_col)), F.lit(p))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped"),
+        page_ok.alias("keep"),
+    )

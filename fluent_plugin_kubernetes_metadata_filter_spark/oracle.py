@@ -892,6 +892,36 @@ FROM (SELECT doc_id, lang, {_u_sql(7)} AS u,
       FROM documents)
 WHERE u < frac"""
 
+    # C4-style line cleaning over the same 8-word pseudo-line chunking
+    # with the md5-coin terminal period; line gate = >=5 words AND
+    # terminal punctuation, page gate = >=3 surviving lines
+    q["clean_lines"] = """
+WITH ptoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
+),
+raw AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[((i-1)*8+1):((i-1)*8+8)], ' ') AS ch
+  FROM ptoks,
+       unnest(generate_series(1, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS t(i)
+),
+lines AS (
+  SELECT doc_id, pos,
+         ch || CASE WHEN substring(md5(ch), 1, 1) < '8' THEN '.' ELSE '' END AS line
+  FROM raw
+),
+k AS (
+  SELECT doc_id, pos, line,
+         (len(regexp_split_to_array(trim(line), '\\s+')) >= 5
+          AND regexp_matches(trim(line), '[.!?"]$')) AS kp
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kp), '') AS clean_text,
+       COUNT(*) FILTER (WHERE kp) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT kp) AS n_dropped,
+       (COUNT(*) FILTER (WHERE kp)) >= 3 AS keep
+FROM k GROUP BY doc_id"""
+
     # token-weighted domain mixing: masses recomputed from the data,
     # T = min(mass/share) (binding domain kept whole), rate arithmetic
     # mirrors the operator's (share * t) / mass exactly (IEEE doubles

@@ -511,6 +511,29 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_scrub(structured, ev)
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning: docs re-chunked into 8-word pseudo-lines
+    with a terminal '.' on lines whose md5 first hex digit < '8' (a
+    deterministic coin both engines flip identically), then the
+    min-words + terminal-punctuation line gates and the >= 3 surviving
+    lines page gate."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import clean_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
+    chunk = lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 8 + 1, 8))  # noqa: E731
+    lines = F.transform(
+        F.sequence(F.lit(1), nch),
+        lambda i: F.concat(
+            chunk(i),
+            F.when(F.substring(F.md5(chunk(i)), 1, 1) < "8", F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    structured = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return clean_lines(structured, ban_substrings=())
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted domain mixing: downsample to a 60/25/15 en/de/fr
     token mixture (zh/es dropped), the binding domain kept whole, keeps

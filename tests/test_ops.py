@@ -1022,6 +1022,37 @@ def test_paragraph_scrub_removes_eval_spans(spark):
     assert out[3].clean_text == "" and out[3].n_kept == 0
 
 
+def test_clean_lines_c4_rules(spark):
+    """Each C4 line rule fires independently: short lines, lines
+    without terminal punctuation, and banned-substring lines drop;
+    pages with < min_lines survivors or page-level markers flag
+    keep=False while still returning their cleaned text."""
+    good = "alpha beta gamma delta epsilon zeta."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{good}\ntoo short.\nno terminal punct here at all\n"
+                f"enable javascript to view this page.\n{good}\n{good}"),
+            (2, f"{good}\n{good}"),               # only 2 survivors
+            (3, f"{good}\n{good}\n{good} lorem ipsum."),  # page marker
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.clean_lines(docs).collect()}
+    assert out[1].keep and out[1].n_kept == 3 and out[1].n_dropped == 3
+    assert out[1].clean_text == "\n".join([good, good, good])
+    assert not out[2].keep and out[2].n_kept == 2
+    assert not out[3].keep  # line gates passed, page marker kills it
+    assert out[3].n_kept == 3
+
+
+def test_clean_lines_zero_shuffle_plan(spark, docs):
+    plan = (
+        textops.clean_lines(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_semantic_dedup_drops_planted_duplicates(spark, emb):
     """A copy and a scaled copy of vec 7 (cosine 1.0) land in vec 7's
     cluster and are dropped; vec 7 itself (lowest id) survives — under
