@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q.q_semantic_dedup,
         "domain_mix": q.q_domain_mix,
         "clean_lines": q.q_clean_lines,
+        "lm_score": q.q_lm_score,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -84,6 +84,7 @@ def query_list(spark, sf_dir):
         ("semantic_dedup", lambda: noop(q.q_semantic_dedup(spark, sf_dir))),
         ("domain_mix", lambda: noop(q.q_domain_mix(spark, sf_dir))),
         ("clean_lines", lambda: noop(q.q_clean_lines(spark, sf_dir))),
+        ("lm_score", lambda: noop(q.q_lm_score(spark, sf_dir))),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),

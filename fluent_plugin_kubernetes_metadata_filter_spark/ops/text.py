@@ -425,3 +425,40 @@ def clean_lines(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped"),
         page_ok.alias("keep"),
     )
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             top_k: int = 50_000, alpha: float = 0.5,
+             grid: int = 4) -> DataFrame:
+    """Unigram-LM quality score — the shuffle-cheap degenerate form of
+    CCNet's KenLM perplexity filter (Wenzek et al. 2020): estimate
+    token probabilities from the corpus itself, score each doc by the
+    mean negative log-likelihood of its tokens. Natural text full of
+    common words scores LOW; gibberish / rare-token soup scores HIGH —
+    cut the top tail, or both tails (CCNet keeps the middle).
+
+    Out-of-vocabulary tokens (below the ``top_k`` frequency cut) get
+    the smoothed floor probability ``alpha / total``. Scores land on
+    the 10^-grid floored grid so an independent engine with a
+    different log/avg rounding chain reproduces them exactly.
+
+    Scale shape: ONE count shuffle (map-side combined) builds the
+    vocabulary; the top-k cut (TakeOrderedAndProject, ~1 MB at 50k) is
+    BROADCAST back against the exploded corpus — deliberately NOT a
+    shuffle join, because token frequency is maximally skewed (every
+    doc joins on "the"); scoring then needs only the doc-grain
+    re-aggregation exchange. Returns ``(id, lm_nll, n_tokens)``."""
+    tk = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
+    topk = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
+    m = float(10**grid)
+    nll = -F.log(F.coalesce(F.col("cnt").cast("double"), F.lit(float(alpha))) / F.lit(total))
+    return (
+        tk.join(F.broadcast(topk), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.floor(F.avg(nll) * m) / m).alias("lm_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -892,6 +892,26 @@ FROM (SELECT doc_id, lang, {_u_sql(7)} AS u,
       FROM documents)
 WHERE u < frac"""
 
+    # unigram-LM quality: vocabulary + total recomputed from the data,
+    # top-32 cut with the (cnt desc, tok asc) tiebreak, mean NLL on the
+    # floored grid (absorbs log/avg last-ulp differences)
+    q["lm_score"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v),
+topk AS (SELECT tok, cnt FROM v ORDER BY cnt DESC, tok LIMIT 32),
+s AS (
+  SELECT tk.doc_id,
+         -ln(COALESCE(CAST(topk.cnt AS DOUBLE), 0.5) / (SELECT t FROM tot)) AS nll
+  FROM tk LEFT JOIN topk USING (tok)
+)
+SELECT doc_id, floor(avg(nll) * 10000) / 10000 AS lm_nll,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM s GROUP BY doc_id"""
+
     # C4-style line cleaning over the same 8-word pseudo-line chunking
     # with the md5-coin terminal period; line gate = >=5 words AND
     # terminal punctuation, page gate = >=3 surviving lines

@@ -511,6 +511,17 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_scrub(structured, ev)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: vocabulary truncated to the top 32
+    tokens (cnt desc, token asc tiebreak — deterministic on both
+    engines), OOV floored at alpha/total, per-doc mean NLL on the 1e-4
+    grid."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score(docs, top_k=32)
+
+
 def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning: docs re-chunked into 8-word pseudo-lines
     with a terminal '.' on lines whose md5 first hex digit < '8' (a

@@ -1045,6 +1045,29 @@ def test_clean_lines_c4_rules(spark):
     assert out[3].n_kept == 3
 
 
+def test_lm_score_ranks_gibberish_above_common_text(spark):
+    """Docs made of corpus-common tokens score low NLL; a doc of
+    unique tokens (all OOV at the smoothed floor) scores highest."""
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    docs = spark.createDataFrame(
+        common + [(99, "zxqv wmplk qqrst vvbnm")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.lm_score(docs, top_k=8).collect()}
+    assert rows[99].lm_nll > rows[0].lm_nll
+    assert rows[0].n_tokens == 6 and rows[99].n_tokens == 4
+    # every common-doc score identical (same token multiset)
+    assert len({rows[i].lm_nll for i in range(10)}) == 1
+
+
+def test_lm_score_broadcasts_vocab(spark, docs):
+    plan = (
+        textops.lm_score(docs, top_k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_clean_lines_zero_shuffle_plan(spark, docs):
     plan = (
         textops.clean_lines(docs)
