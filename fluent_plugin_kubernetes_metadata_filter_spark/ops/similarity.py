@@ -336,14 +336,26 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
     cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
     v = df.select(F.col(id_col).alias("_sid"), _as_double(F.col(vec_col)).alias("v"))
     asg = v.withColumn("c", _nearest_centroid(F.col("v"), cents, grid=grid))
+    # normalize BEFORE the expansion: the pair stage then computes ONE
+    # dot product instead of dot + two norms — higher-order lambdas run
+    # interpreted per element, so per-pair work dominates this op
+    # (norms are O(n), pairs O((n/k)^2)). The norm is staged through a
+    # column referenced twice (guard + lambda) so CollapseProject keeps
+    # it per-row instead of inlining the aggregate into the lambda body,
+    # where it would re-run per ELEMENT; the guard also keeps zero
+    # vectors finite (never similar to anything) instead of NaN.
+    nrm = asg.withColumn("_n", _norm(F.col("v"))).select(
+        "_sid", "c",
+        F.when(
+            F.col("_n") > 0, F.transform("v", lambda x: x / F.col("_n"))
+        ).otherwise(F.col("v")).alias("vn"),
+    )
     pairs, obs = grouped_pair_expansion(
-        asg.select("_sid", F.col("c").cast("bigint").alias("ck"), "v"),
-        id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="v",
+        nrm.select("_sid", F.col("c").cast("bigint").alias("ck"), "vn"),
+        id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="vn",
     )
     m = float(10**grid)
-    sim = _dot(F.col("payload_a"), F.col("payload_b")) / (
-        _norm(F.col("payload_a")) * _norm(F.col("payload_b"))
-    )
+    sim = _dot(F.col("payload_a"), F.col("payload_b"))
     dropped = (
         pairs.where(F.floor(sim * m) / m >= threshold)
         .select(F.col("id_b").alias("_sid"))

@@ -1013,12 +1013,15 @@ asg AS (
     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d)
   WHERE rn = 1
 ),
+nv AS (
+  SELECT vec_id, c,
+         CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS vn
+  FROM (SELECT *, sqrt(list_dot_product(v, v)) AS n FROM asg)
+),
 pairs AS (
   SELECT a.vec_id AS ida, bb.vec_id AS idb,
-         floor(list_dot_product(a.v, bb.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
-               * 10000) / 10000 AS sim
-  FROM asg a JOIN asg bb ON a.c = bb.c AND a.vec_id < bb.vec_id
+         floor(list_dot_product(a.vn, bb.vn) * 10000) / 10000 AS sim
+  FROM nv a JOIN nv bb ON a.c = bb.c AND a.vec_id < bb.vec_id
 ),
 dropped AS (SELECT DISTINCT idb FROM pairs WHERE sim >= 0.2)
 SELECT asg.vec_id, asg.c AS cluster, (dropped.idb IS NULL) AS keep
