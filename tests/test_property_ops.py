@@ -74,3 +74,117 @@ def test_hash_split_total_and_model_exact(spark, ids, weights, seed):
                 want = name
                 break
         assert got[i] == want, (i, u, bounds)
+
+
+domains_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),   # id
+        st.sampled_from(["a", "b", "c", "d"]),       # domain
+        st.integers(min_value=1, max_value=500),     # weight (tokens)
+    ),
+    min_size=4,
+    max_size=60,
+    unique_by=lambda t: t[0],
+).filter(lambda rows: {"a", "b"} <= {d for _, d, _ in rows})
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=domains_strategy, seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_domain_mix_matches_sequential_model(spark, rows, seed):
+    """The kept set equals a sequential Python model running the SAME
+    mass/rate arithmetic and the SAME md5 unit hash — for any corpus
+    shape, target imbalance, and seed."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import (
+        domain_mix,
+        normalized_targets,
+    )
+
+    targets = {"a": 0.7, "b": 0.3}
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = {r.doc_id for r in
+           domain_mix(df, targets, "lang", weight_col="w", seed=seed,
+                      hash_fn="md5").select("doc_id").collect()}
+
+    import hashlib
+
+    shares = normalized_targets(targets)
+    masses = {}
+    for _, d, w in rows:
+        if d in shares:
+            masses[d] = masses.get(d, 0.0) + float(w)
+    masses = {d: float(m) for d, m in masses.items()}
+    t = min(masses[d] / shares[d] for d in shares)
+    want = set()
+    for i, d, _ in rows:
+        if d not in shares:
+            continue
+        h = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:8], 16) % 1_000_000
+        if h / 1_000_000.0 < shares[d] * t / masses[d]:
+            want.add(i)
+    assert got == want
+
+
+line_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "javascript", "x"]),
+             min_size=0, max_size=8).map(" ".join)
+    .map(lambda s: s)  # bare line
+    .flatmap(lambda s: st.sampled_from([s, s + ".", s + "?"])),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(line_strategy, min_size=1, max_size=8))
+def test_clean_lines_matches_sequential_model(spark, docs):
+    """clean_lines equals the rule set replayed sequentially in Python
+    for any line soup: word-count, terminal punctuation, banned
+    substring, and the page-level gates."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import clean_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_lines(df).collect()}
+
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [
+            l for l in lines
+            if len(l.strip().split()) >= 5
+            and l.strip()[-1:] in '.!?"'
+            and "javascript" not in l.lower()
+        ]
+        keep = len(kept) >= 3 and "lorem ipsum" not in text.lower() and "{" not in text.lower()
+        r = got[i]
+        assert r.clean_text == "\n".join(kept)
+        assert r.n_kept == len(kept) and r.n_dropped == len(lines) - len(kept)
+        assert r.keep == keep, (i, text)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    paras=st.lists(st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh"]),
+                   min_size=1, max_size=6),
+    evals=st.sets(st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh"]),
+                  max_size=3),
+)
+def test_paragraph_scrub_model_and_idempotent(spark, paras, evals):
+    """Scrubbed text equals the sequential model (drop paragraphs whose
+    normalized form is in the eval set, keep order), and scrubbing the
+    OUTPUT again is a no-op — the op is idempotent."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import paragraph_scrub
+
+    doc = spark.createDataFrame([(1, "\n\n".join(paras))], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(sorted(evals))] or [(0, "zz")],
+        "doc_id long, text string",
+    )
+    out = paragraph_scrub(doc, ev).collect()[0]
+    want = [p for p in paras if p not in evals]
+    assert out.clean_text == "\n\n".join(want)
+    assert out.n_kept == len(want) and out.n_scrubbed == len(paras) - len(want)
+
+    again = paragraph_scrub(
+        spark.createDataFrame([(1, out.clean_text)], "doc_id long, text string"), ev
+    ).collect()[0]
+    assert again.clean_text == out.clean_text
