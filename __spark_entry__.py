@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_similarity": q.q_seed_similarity,
         "paragraph_scrub": q.q_paragraph_scrub,
         "semantic_dedup": q.q_semantic_dedup,
+        "cluster_sample": q.q_cluster_sample,
+        "tfidf_terms": q.q_tfidf_terms,
+        "ngram_stats": q.q_ngram_stats,
         "domain_mix": q.q_domain_mix,
         "clean_lines": q.q_clean_lines,
         "lm_score": q.q_lm_score,

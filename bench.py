@@ -85,6 +85,9 @@ def query_list(spark, sf_dir):
         ("domain_mix", lambda: noop(q.q_domain_mix(spark, sf_dir))),
         ("clean_lines", lambda: noop(q.q_clean_lines(spark, sf_dir))),
         ("lm_score", lambda: noop(q.q_lm_score(spark, sf_dir))),
+        ("cluster_sample", lambda: noop(q.q_cluster_sample(spark, sf_dir))),
+        ("tfidf_terms", lambda: noop(q.q_tfidf_terms(spark, sf_dir))),
+        ("ngram_stats", lambda: q.q_ngram_stats(spark, sf_dir).collect()),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),

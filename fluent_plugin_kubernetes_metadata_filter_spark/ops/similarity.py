@@ -302,11 +302,87 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, dim: int, k: int = 10,
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _assign_gemm(df: DataFrame, cents: list[list[float]],
+                 id_col: str, vec_col: str, grid: int | None,
+                 normalize: bool = False) -> DataFrame:
+    """Centroid assignment as one Arrow-batched numpy GEMM per input
+    batch — the scale form of `_nearest_centroid`. The literal-matrix
+    expression path is the right call at small k (pure JVM, zero
+    Python), but it has two costs that grow with k: the k x dim
+    literal tree is built/optimized on the DRIVER (a serial constant
+    that at k ~ 512 measurably dominates a pinned scaling probe), and
+    the higher-order-function argmin evaluates INTERPRETED at
+    O(k * dim) per row. Here the centroid matrix ships once as a
+    broadcast variable (numpy array, no expression tree at all) and
+    each Arrow batch computes ``|v|^2 - 2 V @ C.T + |c|^2`` at BLAS
+    speed — the expanded form the DuckDB oracle itself uses, floored
+    to the same 10^-grid before the first-occurrence argmin, so the
+    fixed-point assignment contract is unchanged (parity with the
+    expression path is pinned by tests).
+
+    ``normalize=True`` additionally emits the L2-normalized vector
+    (``vn``) from the same numpy pass — callers that need it (the
+    SemDeDup pair stage) would otherwise re-derive it through an
+    interpreted per-element transform. Returns ``(id, cluster, dist
+    [, vn])``."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    C = np.asarray(cents, dtype=np.float64)
+    b_c = df.sparkSession.sparkContext.broadcast(C)
+    m = float(10**grid) if grid is not None else None
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist", T.DoubleType()),
+    ]
+    if normalize:
+        fields.append(T.StructField("vn", T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
+
+    def block(batches):
+        Cm = b_c.value
+        cc = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + cc[None, :]
+            # the expanded form can cancel to ~-1e-13 where the true
+            # distance is 0 (every seed vector IS in the corpus, so
+            # exact zeros always occur); clamp before flooring or the
+            # floor turns them into a spurious -1/m
+            np.maximum(d2, 0.0, out=d2)
+            if m is not None:
+                d2 = np.floor(d2 * m) / m
+            ci = np.argmin(d2, axis=1)  # first occurrence on ties,
+            # the same lowest-index contract as array_position(min)
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "cluster": ci.astype(np.int32),
+                "dist": d2[np.arange(len(ci)), ci],
+            }
+            if normalize:
+                n = np.linalg.norm(V, axis=1, keepdims=True)
+                out["vn"] = list(np.divide(V, n, out=V.copy(), where=n > 0))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(block, schema)
+
+
+# Below this cluster count the literal-expression assignment stays the
+# default (zero Python, whole-plan JVM); above it the driver-side
+# literal tree and the interpreted O(k*dim)/row argmin dominate and
+# the GEMM path wins.
+_GEMM_AUTO_K = 64
+
+
 def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
                    threshold: float = 0.95, n_iter: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    seed: int = 42, grid: int = 4,
-                   bucket_cap: int | None = None):
+                   bucket_cap: int | None = None,
+                   assign: str = "auto"):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then inside each cluster drop every item that has
     a LOWER-id neighbor with cosine >= threshold — semantic dedup that
@@ -328,28 +404,48 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
     k must GROW with the corpus (the paper uses ~11k clusters for
     LAION-440M; target ~1-10k items/cluster) so each cluster-task stays
     bounded; ``bucket_cap`` turns a degenerate hot cluster into an
-    observable drop instead of an OOM."""
+    observable drop instead of an OOM.
+
+    Because k grows with the corpus, ``assign`` picks the assignment
+    machinery: ``"expr"`` (literal centroid matrix, zero Python —
+    right at small k), ``"gemm"`` (broadcast numpy matrix +
+    Arrow-batched GEMM per batch — right at large k, where the
+    expression path's driver-built literal tree and interpreted
+    O(k*dim)/row argmin become a measured serial bottleneck: the
+    pinned 4-vs-16 probe at k=512 scaled at 0.54 on the expression
+    path), or ``"auto"`` (gemm from k >= 64). Both paths share the
+    floored-grid first-min assignment contract and are parity-pinned
+    by tests."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
         grouped_pair_expansion,
     )
 
+    if assign not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown assign: {assign!r}")
+    use_gemm = assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K)
     cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
-    v = df.select(F.col(id_col).alias("_sid"), _as_double(F.col(vec_col)).alias("v"))
-    asg = v.withColumn("c", _nearest_centroid(F.col("v"), cents, grid=grid))
-    # normalize BEFORE the expansion: the pair stage then computes ONE
-    # dot product instead of dot + two norms — higher-order lambdas run
-    # interpreted per element, so per-pair work dominates this op
-    # (norms are O(n), pairs O((n/k)^2)). The norm is staged through a
-    # column referenced twice (guard + lambda) so CollapseProject keeps
-    # it per-row instead of inlining the aggregate into the lambda body,
-    # where it would re-run per ELEMENT; the guard also keeps zero
-    # vectors finite (never similar to anything) instead of NaN.
-    nrm = asg.withColumn("_n", _norm(F.col("v"))).select(
-        "_sid", "c",
-        F.when(
-            F.col("_n") > 0, F.transform("v", lambda x: x / F.col("_n"))
-        ).otherwise(F.col("v")).alias("vn"),
-    )
+    if use_gemm:
+        # one Arrow pass yields assignment AND the normalized vector
+        ag = _assign_gemm(df, cents, id_col, vec_col, grid, normalize=True)
+        asg = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"))
+        nrm = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"), "vn")
+    else:
+        v = df.select(F.col(id_col).alias("_sid"), _as_double(F.col(vec_col)).alias("v"))
+        asg = v.withColumn("c", _nearest_centroid(F.col("v"), cents, grid=grid))
+        # normalize BEFORE the expansion: the pair stage then computes ONE
+        # dot product instead of dot + two norms — higher-order lambdas run
+        # interpreted per element, so per-pair work dominates this op
+        # (norms are O(n), pairs O((n/k)^2)). The norm is staged through a
+        # column referenced twice (guard + lambda) so CollapseProject keeps
+        # it per-row instead of inlining the aggregate into the lambda body,
+        # where it would re-run per ELEMENT; the guard also keeps zero
+        # vectors finite (never similar to anything) instead of NaN.
+        nrm = asg.withColumn("_n", _norm(F.col("v"))).select(
+            "_sid", "c",
+            F.when(
+                F.col("_n") > 0, F.transform("v", lambda x: x / F.col("_n"))
+            ).otherwise(F.col("v")).alias("vn"),
+        )
     pairs, obs = grouped_pair_expansion(
         nrm.select("_sid", F.col("c").cast("bigint").alias("ck"), "vn"),
         id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="vn",
@@ -368,6 +464,79 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
         F.col("_drop").isNull().alias("keep"),
     )
     return marked, obs
+
+
+def cluster_sample(df: DataFrame, dim: int, n_clusters: int = 16,
+                   per_cluster: int = 4, n_iter: int = 0,
+                   mode: str = "prototype",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42, grid: int = 4,
+                   assign: str = "auto") -> DataFrame:
+    """Cluster-balanced coreset selection over the embedding space —
+    the SSL-prototypes pruning rule (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): k-means the corpus, rank
+    items within each cluster by distance to their centroid, keep
+    ``per_cluster`` per cluster. ``mode="prototype"`` keeps the most
+    central items (dedup-flavored pruning: drop redundant shell);
+    ``mode="outlier"`` keeps the most peripheral (hard-example
+    pruning, the paper's choice in the abundant-data regime). Either
+    way the selection is balanced across the embedding space instead
+    of collapsing onto the densest region the way global top-k
+    selection does.
+
+    Returns one row per input item: ``(id, cluster, dist, rank,
+    keep)`` — keep = rank <= per_cluster. Deterministic end-to-end:
+    seeds are the k smallest md5(id) vectors (shared `kmeans_centroids`
+    quantizer), assignment and ranking both run on the 10^-grid
+    floored squared distance with id ascending as the tiebreak.
+
+    Scale shape: assignment is a MAP-ONLY pass (centroids compile to
+    literal expressions, k x dim floats on the driver); ranking is one
+    exchange — a window partitioned by cluster id. A window partition
+    is a single task, so as with `semantic_dedup`, ``n_clusters`` must
+    GROW with the corpus (target ~1-10k items/cluster) to bound
+    per-task work; unlike the pair stage there, the work here is
+    O(n/k log(n/k)) per cluster, not quadratic.
+
+    ``assign`` follows `semantic_dedup`: ``"expr"`` literal-matrix at
+    small k, ``"gemm"`` broadcast-numpy at large k, ``"auto"`` switches
+    at k >= 64 — same floored-grid first-min contract either way."""
+    if mode not in ("prototype", "outlier"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if assign not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown assign: {assign!r}")
+    cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
+    if assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K):
+        asg = _assign_gemm(df, cents, id_col, vec_col, grid).select(
+            id_col, "dist", "cluster"
+        )
+    else:
+        m = float(10**grid)
+        v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        cm = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        ds = F.transform(
+            cm,
+            lambda c: F.floor(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) * m
+            ) / m,
+        )
+        asg = v.select(
+            id_col,
+            F.array_min(ds).alias("dist"),
+            (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias("cluster"),
+        )
+    order = F.asc("dist") if mode == "prototype" else F.desc("dist")
+    w = Window.partitionBy("cluster").orderBy(order, F.asc(id_col))
+    return asg.select(
+        id_col,
+        "cluster",
+        "dist",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).withColumn("keep", F.col("rank") <= per_cluster)
 
 
 def brute_force_topk_gemm(queries: DataFrame, candidates: DataFrame, k: int = 10,

@@ -6,7 +6,7 @@ BPE-ish tokenizer uses one regex, not a Python loop.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # Tiny per-language stopword profiles for the n-gram-free heuristic.
 _PROFILES = {
@@ -462,3 +462,89 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                top_terms: int = 5, grid: int = 4) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: the ``top_terms``
+    tokens of each document ranked by ``tf * ln(N / df)`` — the
+    standard characteristic-terms primitive behind topic labeling,
+    near-duplicate triage, and per-domain vocabulary drift reports.
+
+    Deterministic contract: scores land on the 10^-grid floored grid
+    and the per-doc rank orders by (floored score desc, term asc), so
+    an independent engine with a different ln rounding chain ranks
+    identically. N (corpus doc count) is one O(1) driver action.
+
+    Scale shape, three exchanges — the minimum for the three grains the
+    statistic touches: (id, term) for tf, term for document frequency,
+    id for the final rank. The df table is VOCABULARY-grain, far too
+    large (and too skew-irrelevant: "the" has df ~= N) to broadcast, so
+    it joins sort-merge on term where AQE's skew-split applies — a
+    deliberate contrast with `lm_score`, whose top-k vocabulary cut
+    makes the broadcast legal. The rank window partitions by id
+    (bounded by doc length), never by term (unbounded hot partitions —
+    windows, unlike joins, cannot be skew-split)."""
+    m = float(10**grid)
+    n_docs = float(df.select(id_col).distinct().count())
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.floor(
+            F.col("tf") * F.log(F.lit(n_docs) / F.col("df_docs")) * m
+        ) / m,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_terms)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df_docs").cast("bigint").alias("df_docs"),
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ngram_stats(df: DataFrame, n: int = 2, top_k: int = 100,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-k n-gram frequency table: occurrences AND
+    document frequency per n-gram — the discovery side of boilerplate
+    removal (feed the over-frequent grams to `paragraph_dedup` /
+    `clean_lines` ban lists) and the corpus-statistics report behind
+    Gopher-style repetition thresholds.
+
+    Scale shape: n-grams build JVM-side (sequence + concat_ws, no
+    UDF); the two statistics come from ONE two-level aggregation —
+    groupBy (gram, id) with map-side combine collapses within-doc
+    repeats first, then groupBy gram sums occurrences and counts rows
+    for document frequency — two exchanges, NO count-distinct expand.
+    The top-k cut is TakeOrderedAndProject (per-partition heaps, no
+    global sort). Ties break (occurrences desc, gram asc) so the cut
+    set is deterministic on both engines."""
+    tk = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array())
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy("gram", id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_doc.groupBy("gram").agg(
+        F.sum("c").cast("bigint").alias("occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return stats.orderBy(F.desc("occurrences"), F.asc("gram")).limit(top_k)

@@ -1027,6 +1027,66 @@ dropped AS (SELECT DISTINCT idb FROM pairs WHERE sim >= 0.2)
 SELECT asg.vec_id, asg.c AS cluster, (dropped.idb IS NULL) AS keep
 FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.idb"""
 
+    # cluster_sample: same seed-quantizer replay as semantic_dedup
+    # (k smallest md5(id) vectors, floored-grid distance, lowest-index
+    # tie), then the per-cluster outlier rank (dist desc, id asc)
+    q["cluster_sample"] = """
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v AS cv, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS ci
+  FROM b ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+),
+d AS (
+  SELECT b.vec_id, s.ci,
+         floor(list_sum(list_transform(range(1, 65),
+               i -> (b.v[i] - s.cv[i]) * (b.v[i] - s.cv[i]))) * 10000) / 10000 AS dist
+  FROM b CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, dist, ci AS cluster FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT vec_id, cluster, dist,
+       CAST(row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS INT) AS "rank",
+       (row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id)) <= 16 AS keep
+FROM asg"""
+
+    # tfidf_terms: tf and document frequency recomputed from scratch,
+    # score floored to the 1e-4 grid BEFORE the rank so both engines
+    # order identically despite last-ulp ln() differences
+    q["tfidf_terms"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         floor(tf.tf * ln((SELECT n FROM nd) / df_docs) * 10000) / 10000 AS tfidf
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df_docs, tfidf, CAST(rn AS INT) AS "rank"
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
+WHERE rn <= 3"""
+
+    # ngram_stats: same two-level aggregation (within-doc collapse then
+    # gram-grain sum/count), deterministic (occurrences desc, gram asc)
+    # top-k cut
+    q["ngram_stats"] = """
+WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+pd AS (SELECT gram, doc_id, count(*) AS c FROM g GROUP BY gram, doc_id),
+st AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
+              CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY gram)
+SELECT gram, occurrences, n_docs FROM st ORDER BY occurrences DESC, gram LIMIT 50"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

@@ -574,6 +574,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.select("vec_id", "cluster", "keep")
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes coreset selection over the embeddings table:
+    seed-centroid quantizer (n_iter=0, exactly SQL-replayable), 8
+    clusters, keep the 16 most PERIPHERAL items per cluster
+    (mode='outlier' — the hard-example rule). Emits every item's
+    cluster, floored distance, rank, and keep flag."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import cluster_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_sample(emb, dim=64, n_clusters=8, per_cluster=16,
+                          n_iter=0, mode="outlier")
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by TF-IDF (floored-grid
+    scores, term-asc tiebreak)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import tfidf_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_terms(docs, top_terms=3)
+
+
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigram frequency table (occurrences + doc
+    frequency, gram-asc tiebreak)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_stats(docs, n=2, top_k=50)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

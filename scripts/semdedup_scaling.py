@@ -1,0 +1,190 @@
+"""Pinned 4-vs-16 scaling probe for semantic_dedup — the embedding-side
+counterpart of dedup_scaling.py (text) and curation_scaling.py (funnel):
+k-means assignment (map-only over literal centroids), the cluster-keyed
+capped pair expansion with normalized-vector payloads, and the id-keyed
+keep-mark join.
+
+Input: a deterministic REPLICAS-x blow-up of the sf0.1 embeddings table.
+Replica r offsets vec_id by r*KEY_OFFSET AND multiplies each dimension i
+by a fixed sign s(r, i) in {+1, -1} (md5-derived) — a diagonal
+ORTHOGONAL transform, so every intra-replica cosine is preserved bit-
+for-bit while cross-replica similarities decorrelate: the duplicate
+structure per replica is exactly sf0.1's, with no artificial mega-
+clusters. n_clusters scales WITH the corpus (8 per replica — constant
+items/cluster, the SemDeDup paper's operating point), so per-task pair
+work is size-independent and total work is linear in REPLICAS.
+
+Protocol identical to dedup_scaling.py: each level in a fresh
+taskset-pinned subprocess (JVM availableProcessors == level), tmpfs
+scratch, interleaved trials, min per level, efficiency =
+(rate_16 / rate_4) / 4. --update-baseline records the result under
+"semantic_dedup_probe" in BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PROBE_DIR = os.environ.get("SEMDEDUP_PROBE_DIR", "/root/repo/data/semdedupprobe")
+# 16x (80k vectors, 128 clusters) holds the 16-core wall around a
+# minute so fixed costs (plan build, kmeans seed collect, stage
+# barriers) stay small against the measurement without blowing the
+# 4-core trials past a reasonable budget
+REPLICAS = int(os.environ.get("SEMDEDUP_REPLICAS", "16"))
+KEY_OFFSET = 1_000_000
+N_SMALL = int(os.environ.get("SCALE_N", "4"))
+REPEAT = int(os.environ.get("SCALE_REPEAT", "1"))
+
+
+def ensure_probe_data() -> None:
+    if os.path.exists(f"{PROBE_DIR}/_DONE"):
+        return
+    import pyspark.sql.functions as F
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
+
+    spark = build_session(app="semdedup-probe-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    assert max_id < KEY_OFFSET
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_r"))
+    # sign(r, i) = +1 iff the hex digit of md5(f"{r}:{i}") is even —
+    # deterministic, replica-and-dimension keyed
+    blown = (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("_r") * KEY_OFFSET).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: x
+                * F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("_r"), i)), 1, 1
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        )
+    )
+    blown.repartition(64).write.mode("overwrite").parquet(f"{PROBE_DIR}/embeddings.parquet")
+    open(f"{PROBE_DIR}/_DONE", "w").write(f"{REPLICAS}\n")
+    spark.stop()
+
+
+def probe_replicas() -> str:
+    try:
+        return open(f"{PROBE_DIR}/_DONE").read().strip() or "?"
+    except OSError:
+        return "?"
+
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+import os as _os
+_os.makedirs("/dev/shm/spark-local", exist_ok=True)
+_os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
+from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import semantic_dedup
+
+cpus, probe_dir, repeat, n_clusters = (int(sys.argv[1]), sys.argv[2],
+                                       int(sys.argv[3]), int(sys.argv[4]))
+spark = build_session(app=f"semdedup-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+emb = spark.read.parquet(f"{probe_dir}/embeddings.parquet")
+n_vecs = emb.count()  # warm JVM (page cache pre-faulted by the parent)
+best = None
+for _ in range(repeat):
+    t0 = time.time()
+    marked, _ = semantic_dedup(emb, dim=64, n_clusters=n_clusters,
+                               threshold=0.2, n_iter=0)
+    marked.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({"cpus": cpus, "n_vecs": n_vecs, "sec": round(best, 3),
+                  "vecs_per_sec": round(n_vecs / best, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    import shutil
+
+    shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
+    cmd = [sys.executable, "-c", CHILD, str(cpus), PROBE_DIR, str(REPEAT),
+           str(8 * REPLICAS)]
+    if os.path.exists("/usr/bin/taskset") and os.environ.get("SCALE_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def warm_input() -> None:
+    import glob
+
+    for f in glob.glob(f"{PROBE_DIR}/embeddings.parquet/*"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def main():
+    ensure_probe_data()
+    warm_input()
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    runs: dict[int, list[dict]] = {N_SMALL: [], N_SMALL * 4: []}
+    for _ in range(trials):
+        for n in (N_SMALL, N_SMALL * 4):
+            r = run_level(n)
+            runs[n].append(r)
+            print(json.dumps(r), flush=True)
+    small = max(runs[N_SMALL], key=lambda r: r["vecs_per_sec"])
+    big = max(runs[N_SMALL * 4], key=lambda r: r["vecs_per_sec"])
+    eff = (big["vecs_per_sec"] / small["vecs_per_sec"]) / 4
+    result = {
+        "metric": "semantic_dedup_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"(T_{N_SMALL*4} / T_{N_SMALL}) / 4, min-of-{trials} per level, interleaved",
+        "job": "semantic_dedup (kmeans assign -> cluster-keyed capped pair "
+               "expansion on normalized payloads -> keep-mark join), "
+               f"n_clusters=8/replica ({8 * REPLICAS})",
+        "input": f"{PROBE_DIR} ({probe_replicas()}x sf0.1 embeddings, "
+                 "sign-rotated cosine-preserving content-disjoint replicas)",
+        "small": small,
+        "big": big,
+        "trials": runs,
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        data = {}
+        try:
+            with open("/root/repo/BENCH_SCALING.json") as fh:
+                data = json.load(fh)
+        except FileNotFoundError:
+            pass
+        data["semantic_dedup_probe"] = result
+        with open("/root/repo/BENCH_SCALING.json", "w") as fh:
+            json.dump(data, fh, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()

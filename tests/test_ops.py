@@ -1121,3 +1121,114 @@ def test_paragraph_scrub_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cluster_sample_balanced_selection(spark, emb):
+    """Every cluster contributes at most per_cluster keepers; ranks are
+    contiguous from 1 within each cluster; one verdict per input item."""
+    r = similarity.cluster_sample(emb, dim=64, n_clusters=4, per_cluster=3,
+                                  n_iter=0, mode="prototype")
+    rows = r.collect()
+    assert len(rows) == emb.count()
+    by_cluster: dict[int, list] = {}
+    for x in rows:
+        by_cluster.setdefault(x.cluster, []).append(x)
+    for c, items in by_cluster.items():
+        kept = [x for x in items if x.keep]
+        assert len(kept) == min(3, len(items))
+        assert sorted(x.rank for x in kept) == list(range(1, len(kept) + 1))
+        # prototype mode: every keeper is at least as central as every drop
+        if len(items) > len(kept):
+            assert max(x.dist for x in kept) <= min(
+                x.dist for x in items if not x.keep
+            )
+
+
+def test_cluster_sample_outlier_mode_inverts_rank(spark, emb):
+    proto = similarity.cluster_sample(emb, dim=64, n_clusters=4, per_cluster=1,
+                                      n_iter=0, mode="prototype")
+    outl = similarity.cluster_sample(emb, dim=64, n_clusters=4, per_cluster=1,
+                                     n_iter=0, mode="outlier")
+    p = {r.cluster: r.dist for r in proto.where("keep").collect()}
+    o = {r.cluster: r.dist for r in outl.where("keep").collect()}
+    for c in p:
+        assert p[c] <= o[c]
+    with pytest.raises(ValueError):
+        similarity.cluster_sample(emb, dim=64, mode="weird")
+
+
+def test_cluster_sample_assignment_is_map_only(spark, emb):
+    """Centroid assignment adds no exchange: the only exchange in the
+    plan is the cluster-keyed rank window's."""
+    plan = (
+        similarity.cluster_sample(emb, dim=64, n_clusters=4, n_iter=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_corpus_wide_term_scores_low(spark):
+    """A term present in every doc has idf ln(1)=0 and never outranks a
+    distinctive term; per-doc output is capped at top_terms."""
+    rows = [(i, f"common shared word{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = textops.tfidf_terms(df, top_terms=2).collect()
+    by_doc: dict[int, list] = {}
+    for x in r:
+        by_doc.setdefault(x.doc_id, []).append(x)
+    for i, items in by_doc.items():
+        assert len(items) == 2
+        top = min(items, key=lambda x: x.rank)
+        assert top.term == f"word{i}"  # tf=2, df=1 beats everything
+        assert top.tf == 2 and top.df_docs == 1
+        # corpus-wide terms score exactly 0.0 on the floored grid
+        assert all(x.tfidf == 0.0 for x in items if x.term in ("common", "shared"))
+
+
+def test_ngram_stats_counts_and_docfreq(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    r = {x.gram: x for x in textops.ngram_stats(df, n=2, top_k=10).collect()}
+    # doc 1 bigrams: "a b", "b a", "a b"; doc 2: "a b", "b c"; doc 3: none
+    assert r["a b"].occurrences == 3 and r["a b"].n_docs == 2
+    assert r["b a"].occurrences == 1 and r["b a"].n_docs == 1
+    assert r["b c"].occurrences == 1 and r["b c"].n_docs == 1
+    assert "x" not in r  # single-token docs emit no bigrams
+
+
+def test_ngram_stats_topk_is_heap_not_global_sort(spark, docs):
+    """The top-k cut must be TakeOrderedAndProject (per-partition
+    heaps), not a global Sort over the gram table."""
+    plan = (
+        textops.ngram_stats(docs, n=2, top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_assign_gemm_parity_with_expr(spark, emb):
+    """The GEMM assignment path must agree with the literal-expression
+    path item-for-item (cluster AND floored dist) — both at the k=8
+    oracle config and at a k above the auto switch."""
+    for k in (8, 64):
+        e = similarity.cluster_sample(emb, dim=64, n_clusters=k, per_cluster=2,
+                                      n_iter=0, assign="expr")
+        g = similarity.cluster_sample(emb, dim=64, n_clusters=k, per_cluster=2,
+                                      n_iter=0, assign="gemm")
+        er = {r.vec_id: (r.cluster, r.dist, r.rank, r.keep) for r in e.collect()}
+        gr = {r.vec_id: (r.cluster, r.dist, r.rank, r.keep) for r in g.collect()}
+        assert er == gr
+
+
+def test_semantic_dedup_gemm_parity(spark, emb):
+    me, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
+                                      n_iter=0, assign="expr")
+    mg, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
+                                      n_iter=0, assign="gemm")
+    er = {r.vec_id: (r.cluster, r.keep) for r in me.collect()}
+    gr = {r.vec_id: (r.cluster, r.keep) for r in mg.collect()}
+    assert er == gr
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(emb, dim=64, assign="blas")
