@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_scrub": q.q_paragraph_scrub,
         "semantic_dedup": q.q_semantic_dedup,
         "cluster_sample": q.q_cluster_sample,
+        "dsir_weights": q.q_dsir_weights,
+        "dsir_select": q.q_dsir_select,
         "tfidf_terms": q.q_tfidf_terms,
         "ngram_stats": q.q_ngram_stats,
         "domain_mix": q.q_domain_mix,

@@ -88,6 +88,8 @@ def query_list(spark, sf_dir):
         ("cluster_sample", lambda: noop(q.q_cluster_sample(spark, sf_dir))),
         ("tfidf_terms", lambda: noop(q.q_tfidf_terms(spark, sf_dir))),
         ("ngram_stats", lambda: q.q_ngram_stats(spark, sf_dir).collect()),
+        ("dsir_weights", lambda: noop(q.q_dsir_weights(spark, sf_dir))),
+        ("dsir_select", lambda: q.q_dsir_select(spark, sf_dir).collect()),
         # shuffle-join scaling probes over the TPC-H relations (not
         # broadcast-flattered at sf>=1: orders |x| lineitem goes sort-merge)
         ("pricing_summary", lambda: q.q_pricing_summary(spark, sf_dir).collect()),

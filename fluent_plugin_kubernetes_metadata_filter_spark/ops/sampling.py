@@ -144,3 +144,129 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     for val, p in fractions.items():
         frac = F.when(F.col(strata_col) == val, F.lit(float(p))).otherwise(frac)
     return df.where(u < frac)
+
+
+def _bucket(gram, n_buckets: int) -> F.Column:
+    """md5-keyed feature-hash bucket — bit-identical across Spark and
+    DuckDB (same first-8-hex-chars base-16 parse as `unit_hash`)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def _doc_features(df: DataFrame, text_col: str, id_col: str,
+                  ns: tuple[int, ...], n_buckets: int) -> DataFrame:
+    """One row per (doc, feature-bucket occurrence): word n-grams for
+    each order in ``ns``, hashed into ``n_buckets``. JVM-side (sequence
+    + concat_ws), exploded once over the union of orders."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import tokens
+
+    tk = tokens(F.col(text_col))
+
+    def order_grams(n: int) -> F.Column:
+        # NOTE: the transform lambda must take exactly one parameter —
+        # a second one would be bound to the element INDEX by pyspark
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array())
+
+    per_order = [order_grams(n) for n in ns]
+    grams = per_order[0]
+    for o in per_order[1:]:
+        grams = F.concat(grams, o)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).select(id_col, _bucket(F.col("gram"), n_buckets).alias("b"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", ns: tuple[int, ...] = (1, 2),
+                 n_buckets: int = 1024, alpha: float = 1.0,
+                 grid: int = 4) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    model the TARGET distribution (the high-quality seed corpus you
+    want more of) and the RAW distribution as bags of hashed n-gram
+    features, then score every raw doc by its log importance ratio
+    ``sum_f [ log p_target(f) - log p_raw(f) ]`` — docs that look like
+    the target score high. Laplace-``alpha`` smoothing keeps empty
+    buckets finite.
+
+    Scale shape (the point of hashed features): both distributions are
+    ONE map-side-combined groupBy collapsing the corpus into
+    ``n_buckets`` rows; their log-ratio table is O(n_buckets) and
+    BROADCASTS back against the exploded raw side — bucket frequency
+    is maximally skewed (stopword buckets), so a shuffle join is the
+    wrong plan the same way it is in `lm_score`; per-doc scoring is
+    then the doc-grain re-aggregation exchange. Scores floor to the
+    10^-grid so summation-order drift never changes a verdict.
+    Returns ``(id, logw, n_feats)`` for every raw doc."""
+    raw_f = _doc_features(raw, text_col, id_col, ns, n_buckets)
+    tgt_f = _doc_features(target, text_col, id_col, ns, n_buckets)
+    raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    raw_tot = float(raw_f.count())
+    tgt_tot = float(tgt_f.count())
+    denom_r = raw_tot + alpha * n_buckets
+    denom_t = tgt_tot + alpha * n_buckets
+    # full outer over the two O(n_buckets) tables, then the ratio —
+    # driver never sees it; it broadcasts as a ~n_buckets-row dim
+    ratio = (
+        raw_c.join(tgt_c, "b", "full_outer")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
+                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+            ).alias("lr"),
+        )
+    )
+    m = float(10**grid)
+    return (
+        raw_f.join(F.broadcast(ratio), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.floor(F.sum("lr") * m) / m).alias("logw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                ns: tuple[int, ...] = (1, 2), n_buckets: int = 1024,
+                alpha: float = 1.0, grid: int = 4,
+                seed: int = 42) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` docs WITHOUT replacement
+    with probability proportional to their importance weight, via the
+    Gumbel top-k trick — key = logw + Gumbel noise, take the k largest.
+    The noise is DETERMINISTIC (inverse-CDF of the md5 unit hash,
+    ``-ln(-ln(u))``), so the selected set is a property of the data and
+    seed: identical on reruns, cluster sizes, and in the SQL oracle.
+
+    Scale shape: `dsir_weights` + one expression column + a global
+    top-k = TakeOrderedAndProject (per-partition heaps) — no sort, no
+    extra shuffle. Ties (same floored key) break id-asc."""
+    w = dsir_weights(raw, target, text_col, id_col, ns, n_buckets, alpha, grid)
+    # u strictly inside (0,1): the +0.5/DENOM offset keeps ln finite
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                          F.lit(f":g{seed}"))), 1, 8), 16, 10
+               ).cast("long"),
+        F.lit(DENOM),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(DENOM))
+    m = float(10**grid)
+    key = F.floor((F.col("logw") - F.log(-F.log(u))) * m) / m
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -343,29 +343,37 @@ def _assign_gemm(df: DataFrame, cents: list[list[float]],
     def block(batches):
         Cm = b_c.value
         cc = (Cm * Cm).sum(axis=1)
+        # bound the n x k distance matrix to ~32 MB regardless of k:
+        # one Arrow batch (10k rows) against k=4096 centroids would
+        # otherwise allocate ~320 MB per batch per worker — allocator
+        # and bandwidth churn that measurably taxes wide pinned runs
+        rows_per_chunk = max(256, (1 << 25) // (8 * max(len(Cm), 1)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + cc[None, :]
-            # the expanded form can cancel to ~-1e-13 where the true
-            # distance is 0 (every seed vector IS in the corpus, so
-            # exact zeros always occur); clamp before flooring or the
-            # floor turns them into a spurious -1/m
-            np.maximum(d2, 0.0, out=d2)
-            if m is not None:
-                d2 = np.floor(d2 * m) / m
-            ci = np.argmin(d2, axis=1)  # first occurrence on ties,
-            # the same lowest-index contract as array_position(min)
-            out = {
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                "cluster": ci.astype(np.int32),
-                "dist": d2[np.arange(len(ci)), ci],
-            }
-            if normalize:
-                n = np.linalg.norm(V, axis=1, keepdims=True)
-                out["vn"] = list(np.divide(V, n, out=V.copy(), where=n > 0))
-            yield pd.DataFrame(out)
+            V0 = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids0 = pdf[id_col].to_numpy(dtype=np.int64)
+            for s in range(0, len(V0), rows_per_chunk):
+                V = V0[s:s + rows_per_chunk]
+                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + cc[None, :]
+                # the expanded form can cancel to ~-1e-13 where the true
+                # distance is 0 (every seed vector IS in the corpus, so
+                # exact zeros always occur); clamp before flooring or the
+                # floor turns them into a spurious -1/m
+                np.maximum(d2, 0.0, out=d2)
+                if m is not None:
+                    d2 = np.floor(d2 * m) / m
+                ci = np.argmin(d2, axis=1)  # first occurrence on ties,
+                # the same lowest-index contract as array_position(min)
+                out = {
+                    id_col: ids0[s:s + rows_per_chunk],
+                    "cluster": ci.astype(np.int32),
+                    "dist": d2[np.arange(len(ci)), ci],
+                }
+                if normalize:
+                    n = np.linalg.norm(V, axis=1, keepdims=True)
+                    out["vn"] = list(np.divide(V, n, out=V.copy(), where=n > 0))
+                yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(block, schema)
 
@@ -425,8 +433,16 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
     use_gemm = assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K)
     cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
     if use_gemm:
-        # one Arrow pass yields assignment AND the normalized vector
+        # one Arrow pass yields assignment AND the normalized vector.
+        # The result feeds TWO consumers (the pair expansion and the
+        # final keep-mark join) whose plan prefixes are not identical
+        # exchanges, so without materialization the scan + GEMM would
+        # execute twice — the same two-jobs-one-lineage shape the
+        # token_budget fix addressed. localCheckpoint pins one copy
+        # (executor-local, lineage cut — the deliberate trade
+        # documented at token_budget).
         ag = _assign_gemm(df, cents, id_col, vec_col, grid, normalize=True)
+        ag = ag.localCheckpoint(eager=False)
         asg = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"))
         nrm = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"), "vn")
     else:

@@ -1087,6 +1087,47 @@ st AS (SELECT gram, CAST(sum(c) AS BIGINT) AS occurrences,
               CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY gram)
 SELECT gram, occurrences, n_docs FROM st ORDER BY occurrences DESC, gram LIMIT 50"""
 
+    # DSIR: hashed uni+bigram feature counts on both sides, Laplace-1
+    # smoothed log ratio per bucket, per-doc sum on the floored grid;
+    # the select variant adds the md5 inverse-CDF Gumbel key. Feature
+    # buckets use the same '0x'||md5-prefix parse as unit_hash.
+    _dsir_w = """
+WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+f1 AS (SELECT doc_id, unnest(t) AS gram FROM tk),
+f2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+       FROM tk, unnest(generate_series(1, len(t) - 1)) AS s(i) WHERE len(t) >= 2),
+feats AS (
+  SELECT doc_id, CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 256 AS b
+  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+),
+tgt AS (SELECT b FROM feats WHERE doc_id % 13 = 0),
+rc AS (SELECT b, count(*) AS rc FROM feats GROUP BY b),
+tc AS (SELECT b, count(*) AS tc FROM tgt GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM feats) AS rt, (SELECT count(*) FROM tgt) AS tt),
+ratio AS (
+  SELECT COALESCE(rc.b, tc.b) AS b,
+         ln((COALESCE(tc, 0) + 1.0) / ((SELECT tt FROM tot) + 1.0 * 256))
+         - ln((COALESCE(rc, 0) + 1.0) / ((SELECT rt FROM tot) + 1.0 * 256)) AS lr
+  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b
+),
+w AS (
+  SELECT feats.doc_id, floor(sum(lr) * 10000) / 10000 AS logw,
+         CAST(count(*) AS BIGINT) AS n_feats
+  FROM feats JOIN ratio USING (b) GROUP BY feats.doc_id
+)
+"""
+    q["dsir_weights"] = _dsir_w + "SELECT doc_id, logw, n_feats FROM w"
+
+    q["dsir_select"] = _dsir_w + f"""
+, g AS (
+  SELECT doc_id, logw, n_feats,
+         ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':g42'), 1, 8) AS BIGINT)
+           % {DENOM}) + 0.5) / {float(DENOM)!r} AS u
+  FROM w)
+SELECT doc_id, logw, n_feats,
+       floor((logw - ln(-ln(u))) * 10000) / 10000 AS gumbel_key
+FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 200"""
+
     q["langid_profiles"] = f"""
 WITH h AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
 SELECT doc_id, lang, CASE {whens} ELSE 'unk' END AS lang_pred FROM h"""

@@ -605,6 +605,29 @@ def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_stats(docs, n=2, top_k=50)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target = the doc_id % 13 == 0 slice
+    (a deterministic stand-in for the high-quality seed corpus), raw =
+    every doc; hashed uni+bigram features in 256 buckets, Laplace-1
+    smoothing, floored-grid log weights."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, docs.where(F.col("doc_id") % 13 == 0),
+                        n_buckets=256)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling: 200 docs drawn without replacement
+    with probability proportional to importance weight, via the
+    deterministic md5 inverse-CDF Gumbel key."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(docs, docs.where(F.col("doc_id") % 13 == 0),
+                       k=200, n_buckets=256)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

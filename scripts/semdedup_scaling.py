@@ -32,11 +32,16 @@ sys.path.insert(0, "/root/repo")
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = os.environ.get("SEMDEDUP_PROBE_DIR", "/root/repo/data/semdedupprobe")
-# 16x (80k vectors, 128 clusters) holds the 16-core wall around a
-# minute so fixed costs (plan build, kmeans seed collect, stage
-# barriers) stay small against the measurement without blowing the
-# 4-core trials past a reasonable budget
-REPLICAS = int(os.environ.get("SEMDEDUP_REPLICAS", "16"))
+# Probe sizing history (recorded in BASELINE.md): at 64x (128k
+# vectors, 512 clusters) the literal-expression assignment path
+# measured 0.54 — a T = C + W/p fit attributed ~78s to a SERIAL
+# constant (driver-built k x dim literal tree + interpreted
+# O(k*dim)/row argmin), which drove the assign="gemm" path; gemm cut
+# both walls ~4.8x, leaving a 23s 16-core wall where ~14s of fixed
+# cost (JVM/session/seed-collect/stage barriers) dominates the ratio.
+# 384x (768k vectors, 3072 clusters) restores a fixed-cost-small
+# measurement window at both levels.
+REPLICAS = int(os.environ.get("SEMDEDUP_REPLICAS", "384"))
 KEY_OFFSET = 1_000_000
 N_SMALL = int(os.environ.get("SCALE_N", "4"))
 REPEAT = int(os.environ.get("SCALE_REPEAT", "1"))
@@ -98,6 +103,11 @@ sys.path.insert(0, "/root/repo")
 import os as _os
 _os.makedirs("/dev/shm/spark-local", exist_ok=True)
 _os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+# one BLAS thread per Arrow worker: Spark already provides the
+# process-level parallelism; nested OpenBLAS/OMP threads fight the
+# pinned cpuset differently at each level and distort the ratio
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ[_v] = "1"
 from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session
 from fluent_plugin_kubernetes_metadata_filter_spark.ops.similarity import semantic_dedup
 

@@ -1232,3 +1232,54 @@ def test_semantic_dedup_gemm_parity(spark, emb):
     assert er == gr
     with pytest.raises(ValueError):
         similarity.semantic_dedup(emb, dim=64, assign="blas")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary outscore docs that
+    don't; output covers every raw doc."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    raw_rows = [(i, "aurora borealis polar zenith") for i in range(5)] + [
+        (i, "mundane filler chatter noise") for i in range(5, 25)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, "aurora borealis zenith polar lights") for i in range(4)],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.logw for r in sampling.dsir_weights(raw, target, n_buckets=64).collect()}
+    assert len(w) == 25
+    assert min(w[i] for i in range(5)) > max(w[i] for i in range(5, 25))
+
+
+def test_dsir_select_is_deterministic_and_weight_biased(spark):
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    raw_rows = [(i, "aurora borealis polar zenith") for i in range(10)] + [
+        (i, "mundane filler chatter noise") for i in range(10, 60)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(900, "aurora borealis zenith polar")], "doc_id long, text string"
+    )
+    pick1 = {r.doc_id for r in sampling.dsir_select(raw, target, k=10, n_buckets=64).collect()}
+    pick2 = {
+        r.doc_id
+        for r in sampling.dsir_select(
+            raw.repartition(7), target, k=10, n_buckets=64
+        ).collect()
+    }
+    assert pick1 == pick2  # partitioning-independent selection
+    assert len(pick1) == 10
+    # weight bias: the 10 target-like docs dominate the draw
+    assert len([d for d in pick1 if d < 10]) >= 7
+
+
+def test_dsir_ratio_table_broadcasts(spark, docs):
+    """The per-feature log-ratio table must broadcast — a shuffle join
+    keyed by feature bucket would hot-spot on stopword buckets."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    w = sampling.dsir_weights(docs, docs.where("doc_id % 13 = 0"), n_buckets=256)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
