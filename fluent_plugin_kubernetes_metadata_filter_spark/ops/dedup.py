@@ -54,9 +54,14 @@ def tokenize(text_col) -> F.Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
-def shingles(text_col, k: int = 3) -> F.Column:
-    """Distinct k-gram word shingles; JVM-side (no UDF)."""
-    tk = tokenize(text_col)
+def shingles_from_tokens(tk, k: int = 3) -> F.Column:
+    """Distinct k-gram word shingles over a token-array column; JVM-side
+    (no UDF). ``tk`` MUST be a real column (not an inline tokenize()
+    expression): Catalyst inlines a raw expression into every element_at
+    in the transform lambda, re-splitting the text per element —
+    O(tokens^2) per doc. Callers stage the array with
+    ``.select(..., tokenize(col).alias("_tk"))`` first; the non-cheap
+    multi-referenced alias blocks CollapseProject from re-inlining."""
     return F.when(
         F.size(tk) >= k,
         F.array_distinct(
@@ -68,6 +73,13 @@ def shingles(text_col, k: int = 3) -> F.Column:
             )
         ),
     ).otherwise(F.array(F.array_join(tk, " ")))
+
+
+def shingles(text_col, k: int = 3) -> F.Column:
+    """Distinct k-gram word shingles from raw text. Prefer
+    `shingles_from_tokens` over a staged token column in hot paths —
+    this form re-splits the text per element (see there)."""
+    return shingles_from_tokens(tokenize(text_col), k)
 
 
 def _content_fingerprint(text_col: str) -> F.Column:
@@ -140,8 +152,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         # no string bytes through the shuffle. Distinct triples ==
         # distinct shingle strings, so MinHash semantics are unchanged;
         # only the (arbitrary) base-hash values differ from the string
-        # formulation.
-        tk = tokenize(F.col(text_col))
+        # formulation. Token array STAGED through a column — inlined it
+        # re-splits per element_at, O(tokens^2)/doc (shingles_from_tokens).
+        tk = F.col("_tk")
         hashes = F.when(
             F.size(tk) >= 3,
             F.array_distinct(
@@ -155,12 +168,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                 )
             ),
         ).otherwise(F.array(F.xxhash64(F.array_join(tk, " "))))
-        sh = df.select(F.col(id_col), F.explode(hashes).alias("sh"))
+        sh = df.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+        ).select(F.col(id_col), F.explode(hashes).alias("sh"))
         h = F.pmod(F.col("sh"), F.lit(_MERSENNE))
     elif shingle_hash == "md5":
         # gate variant: the DuckDB oracle recomputes this from the
         # shingle STRING, so the string path stays
-        sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        sh = df.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+        ).select(
+            F.col(id_col), F.explode(shingles_from_tokens(F.col("_tk"))).alias("sh")
+        )
         h = F.pmod(
             F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long"),
             F.lit(_MERSENNE),
@@ -377,9 +396,13 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, text_col: str = "text",
       broadcasts the candidate-doc set when it is small.
     """
     sh = _spread(df, id_col).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
         F.explode(
-            F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s))
+            F.transform(
+                shingles_from_tokens(F.col("_tk")), lambda s: F.xxhash64(s)
+            )
         ).alias("sh"),
     )
     docs_in_play = (
@@ -697,8 +720,10 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, text_col: str = "text",
     broadcast is still the small eval side — so the cost is only the
     wider hash-table probe).
     """
-    sh_corpus = shingles(F.col(text_col))
-    sh_eval = shingles(F.col(text_col))
+    # staged token arrays (see shingles_from_tokens: inline shingles()
+    # re-splits the text per element)
+    sh_corpus = shingles_from_tokens(F.col("_tk"))
+    sh_eval = shingles_from_tokens(F.col("_tk"))
     if shingle_hash == "xxhash64":
         key = lambda c: F.xxhash64(c)  # noqa: E731
     elif shingle_hash == "raw":
@@ -707,7 +732,8 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, text_col: str = "text",
         raise ValueError(f"unknown shingle_hash: {shingle_hash!r}")
 
     ev = (
-        eval_df.select(F.explode(sh_eval).alias("_sh"))
+        eval_df.select(tokenize(F.col(text_col)).alias("_tk"))
+        .select(F.explode(sh_eval).alias("_sh"))
         .select(key(F.col("_sh")).alias("_sh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
@@ -720,6 +746,8 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame, text_col: str = "text",
     # first. The key mapping runs inside the array (before explode) so
     # the generate emits int64s on the fast path, never strings.
     c = _spread(corpus, id_col).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col),
         F.explode(F.transform(sh_corpus, lambda sh: key(sh))).alias("_sh"),
     )

@@ -162,7 +162,13 @@ def _doc_features(df: DataFrame, text_col: str, id_col: str,
     + concat_ws), exploded once over the union of orders."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import tokens
 
-    tk = tokens(F.col(text_col))
+    # STAGE the token array through a real column: referencing the raw
+    # tokens() expression from inside the transform lambdas would
+    # inline the split() into every element_at — re-splitting the text
+    # per element, O(len^2) per doc (measured 2x wall on this op; the
+    # plan showed 7 split() occurrences vs 1 staged). The non-cheap
+    # multi-referenced alias blocks CollapseProject from undoing this.
+    tk = F.col("_tk")
 
     def order_grams(n: int) -> F.Column:
         # NOTE: the transform lambda must take exactly one parameter —
@@ -182,6 +188,8 @@ def _doc_features(df: DataFrame, text_col: str, id_col: str,
     for o in per_order[1:]:
         grams = F.concat(grams, o)
     return df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col), F.explode(grams).alias("gram")
     ).select(id_col, _bucket(F.col("gram"), n_buckets).alias("b"))
 
@@ -199,43 +207,52 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str = "text",
     the target score high. Laplace-``alpha`` smoothing keeps empty
     buckets finite.
 
-    Scale shape (the point of hashed features): both distributions are
-    ONE map-side-combined groupBy collapsing the corpus into
-    ``n_buckets`` rows; their log-ratio table is O(n_buckets) and
-    BROADCASTS back against the exploded raw side — bucket frequency
-    is maximally skewed (stopword buckets), so a shuffle join is the
-    wrong plan the same way it is in `lm_score`; per-doc scoring is
-    then the doc-grain re-aggregation exchange. Scores floor to the
-    10^-grid so summation-order drift never changes a verdict.
+    Scale shape (the point of hashed features): exactly THREE corpus
+    passes — one groupBy collapsing each side into its ``n_buckets``
+    count rows (both collected: n_buckets is small by construction —
+    the paper uses 10k), and one scoring pass. Totals, smoothing, and
+    the log ratio are computed driver-side from the collected counts
+    (a separate ``count()`` action per side would re-explode the
+    corpus, and a lazily-joined broadcast ratio table would re-execute
+    BOTH groupBys inside the broadcast build — the first formulation
+    did both and measured 23 s at sf0.1 vs ~7 s for this one). The
+    per-bucket ratio applies as a literal array lookup (one
+    constant-folded O(n_buckets) array, no join) up to 64k buckets,
+    and as a driver-built broadcast dim beyond — the literal-tree
+    serial cost measured on the semantic-dedup probe is why large
+    bucket counts switch plans. Scoring needs only the doc-grain
+    re-aggregation exchange; scores floor to the 10^-grid so
+    summation-order drift never changes a verdict.
     Returns ``(id, logw, n_feats)`` for every raw doc."""
+    import math
+
     raw_f = _doc_features(raw, text_col, id_col, ns, n_buckets)
     tgt_f = _doc_features(target, text_col, id_col, ns, n_buckets)
-    raw_c = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_c = tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    raw_tot = float(raw_f.count())
-    tgt_tot = float(tgt_f.count())
-    denom_r = raw_tot + alpha * n_buckets
-    denom_t = tgt_tot + alpha * n_buckets
-    # full outer over the two O(n_buckets) tables, then the ratio —
-    # driver never sees it; it broadcasts as a ~n_buckets-row dim
-    ratio = (
-        raw_c.join(tgt_c, "b", "full_outer")
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
-                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
-            ).alias("lr"),
-        )
-    )
+    rc = {r["b"]: r["c"] for r in
+          raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    tc = {r["b"]: r["c"] for r in
+          tgt_f.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}
+    denom_r = float(sum(rc.values())) + alpha * n_buckets
+    denom_t = float(sum(tc.values())) + alpha * n_buckets
+    lr = [
+        math.log((tc.get(b, 0) + alpha) / denom_t)
+        - math.log((rc.get(b, 0) + alpha) / denom_r)
+        for b in range(n_buckets)
+    ]
     m = float(10**grid)
-    return (
-        raw_f.join(F.broadcast(ratio), "b", "left")
-        .groupBy(id_col)
-        .agg(
-            (F.floor(F.sum("lr") * m) / m).alias("logw"),
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+    if n_buckets <= 65536:
+        lr_arr = F.array(*[F.lit(x) for x in lr])
+        scored = raw_f.withColumn(
+            "lr", F.element_at(lr_arr, (F.col("b") + 1).cast("int"))
         )
+    else:
+        ratio = raw.sparkSession.createDataFrame(
+            list(enumerate(lr)), "b long, lr double"
+        )
+        scored = raw_f.join(F.broadcast(ratio), "b", "left")
+    return scored.groupBy(id_col).agg(
+        (F.floor(F.sum("lr") * m) / m).alias("logw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
     )
 
 

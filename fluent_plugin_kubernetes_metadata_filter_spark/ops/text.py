@@ -89,28 +89,50 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: score = hits per profile, argmax
-    wins (ties -> 'unk'). One pass, pure expressions."""
-    tk = tokens(F.col(text_col))
+    wins (ties -> 'unk'). One pass, pure expressions.
+
+    Both the token array and the per-language scores are STAGED through
+    work columns: inlined, the argmax when-chain references each score
+    ~3x (greatest + two when arms) and each score re-splits the text —
+    ~3 x n_langs split+filter evaluations per row collapse to one split
+    and n_langs filters (non-cheap multi-referenced aliases block
+    CollapseProject from re-inlining)."""
+    tk = F.col("_li_tk")
 
     def hit_counter(ws):
         return lambda t: t.isin(*ws)
 
     scores = {
-        lang: F.size(F.filter(tk, hit_counter(ws))) for lang, ws in _PROFILES.items()
+        lang: F.col(f"_li_s_{lang}") for lang in _PROFILES
     }
     best = F.greatest(*scores.values())
     pred = F.lit("unk")
     # reversed so earlier profiles win exact ties deterministically
     for lang in reversed(list(_PROFILES)):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.withColumn("lang_pred", pred)
+    return (
+        df.withColumn("_li_tk", tokens(F.col(text_col)))
+        .withColumns(
+            {
+                f"_li_s_{lang}": F.size(F.filter(tk, hit_counter(ws)))
+                for lang, ws in _PROFILES.items()
+            }
+        )
+        .withColumn("lang_pred", pred)
+        .drop("_li_tk", *[f"_li_s_{lang}" for lang in _PROFILES])
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> DataFrame:
     """Doc fingerprint: md5 of normalized text + a winnowed shingle-hash
-    minimum (rolling-hash flavored, expression-only)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    tk = F.split(norm, " ")
+    minimum (rolling-hash flavored, expression-only).
+
+    Both the normalized text and its token array are STAGED through
+    work columns: inlined, the regexp_replace would evaluate 3x per row
+    and the split once per element_at — O(tokens^2) per doc. The
+    non-cheap multi-referenced aliases block CollapseProject."""
+    norm = F.col("_fp_norm")
+    tk = F.col("_fp_tk")
     sh = F.when(
         F.size(tk) >= shingle_k,
         F.transform(
@@ -120,11 +142,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_k: int = 5) -> Da
             ),
         ),
     ).otherwise(F.array(F.xxhash64(norm)))
-    return df.withColumns(
-        {
-            "doc_fp": F.md5(norm),
-            "min_shingle_hash": F.array_min(sh),
-        }
+    return (
+        df.withColumn(
+            "_fp_norm",
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        )
+        .withColumn("_fp_tk", F.split(norm, " "))
+        .withColumns(
+            {
+                "doc_fp": F.md5(norm),
+                "min_shingle_hash": F.array_min(sh),
+            }
+        )
+        .drop("_fp_norm", "_fp_tk")
     )
 
 
@@ -297,8 +327,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     grouping key, so all three aggregations run partition-local.
     Without the repartition the same plan costs three exchanges at
     n-gram grain — strictly more bytes than the documents themselves.
-    Plan-asserted in tests. No Python, no unbounded buffers."""
-    tk = tokens(F.col(text_col))
+    Plan-asserted in tests. No Python, no unbounded buffers.
+
+    The token array is STAGED through a column: an inline tokens()
+    expression is duplicated by Catalyst into every element_at in the
+    gram lambdas, re-splitting the text per element — O(tokens^2) per
+    doc (the non-cheap multi-referenced alias blocks CollapseProject
+    from re-inlining it)."""
+    tk = F.col("_tk")
     gram_struct = "array<struct<n:int,gram:string>>"
 
     # one-arg lambda via factory: a 2-param lambda (even with a default)
@@ -326,6 +362,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     p = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(max(p, df.rdd.getNumPartitions()), id_col)
     g = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(
         F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("g")
     ).select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     counts = g.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -529,8 +567,14 @@ def ngram_stats(df: DataFrame, n: int = 2, top_k: int = 100,
     for document frequency — two exchanges, NO count-distinct expand.
     The top-k cut is TakeOrderedAndProject (per-partition heaps, no
     global sort). Ties break (occurrences desc, gram asc) so the cut
-    set is deterministic on both engines."""
-    tk = tokens(F.col(text_col))
+    set is deterministic on both engines.
+
+    The token array is STAGED through a column before the gram
+    transform: an inline tokens() expression gets duplicated into every
+    element_at by Catalyst, re-splitting the text per element —
+    O(tokens^2) per doc (the staged alias is non-cheap and
+    multi-referenced, which blocks CollapseProject from re-inlining)."""
+    tk = F.col("_tk")
     grams = F.when(
         F.size(tk) >= n,
         F.transform(
@@ -539,7 +583,8 @@ def ngram_stats(df: DataFrame, n: int = 2, top_k: int = 100,
         ),
     ).otherwise(F.array())
     per_doc = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy("gram", id_col)
         .agg(F.count(F.lit(1)).alias("c"))
     )

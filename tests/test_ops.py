@@ -1275,11 +1275,61 @@ def test_dsir_select_is_deterministic_and_weight_biased(spark):
     assert len([d for d in pick1 if d < 10]) >= 7
 
 
-def test_dsir_ratio_table_broadcasts(spark, docs):
-    """The per-feature log-ratio table must broadcast — a shuffle join
-    keyed by feature bucket would hot-spot on stopword buckets."""
+def test_dsir_ratio_applies_without_any_join(spark, docs):
+    """At small n_buckets the log-ratio applies as a constant-folded
+    literal array lookup: the scoring plan has NO join at all (a
+    shuffle join keyed by feature bucket would hot-spot on stopword
+    buckets; even a broadcast join is a needless build)."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
 
     w = sampling.dsir_weights(docs, docs.where("doc_id % 13 = 0"), n_buckets=256)
     plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_dsir_large_bucket_count_switches_to_broadcast_dim(spark):
+    """Past the literal-array threshold the ratio ships as a broadcast
+    dim instead of a driver-built literal tree (the serial-constant
+    defect the semantic-dedup probe measured)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(4)], "doc_id long, text string"
+    )
+    w = sampling.dsir_weights(df, df, n_buckets=70000)
+    plan = w._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_arrays_staged_once_in_hot_plans(spark, docs):
+    """Token/shingle arrays must be STAGED through a real column in
+    every gram-building op: an inline split() gets duplicated by
+    Catalyst into each element_at inside the transform lambdas and the
+    text is re-split PER ELEMENT — O(tokens^2) per doc (measured 2-8x
+    wall on dsir_weights/ngram_stats at sf0.1; the unstaged
+    _doc_features plan carried 7 split() copies). The staged alias is
+    non-cheap and multi-referenced, which blocks CollapseProject from
+    re-inlining it — each plan's split() count stays at one per scanned
+    text input."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    eval_df = docs.limit(5).select("doc_id", "text")
+    cases = {
+        "dsir_features": sampling._doc_features(docs, "text", "doc_id", (1, 2), 64),
+        "ngram_stats": textops.ngram_stats(docs, n=2, top_k=10),
+        "fingerprint": textops.fingerprint(docs),
+        "repetition": textops.repetition_signals(docs),
+        "langid": textops.langid(docs),
+        "minhash_xx": dedup.minhash_signatures(docs, n_perm=4),
+        "minhash_md5": dedup.minhash_signatures(docs, n_perm=4, shingle_hash="md5"),
+        # two text inputs (corpus + eval), one split each
+        "decontaminate": dedup.decontaminate(docs, eval_df),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_inputs = 2 if name == "decontaminate" else 1
+        assert plan.count("split(") <= n_inputs, (
+            f"{name}: {plan.count('split(')} split() occurrences "
+            f"(expected <= {n_inputs}) — token array no longer staged"
+        )
