@@ -485,9 +485,19 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     BROADCAST back against the exploded corpus — deliberately NOT a
     shuffle join, because token frequency is maximally skewed (every
     doc joins on "the"); scoring then needs only the doc-grain
-    re-aggregation exchange. Returns ``(id, lm_nll, n_tokens)``."""
+    re-aggregation exchange. The vocabulary is MATERIALIZED
+    (localCheckpoint) before the ``total`` collect: without it, the
+    full corpus explode + count shuffle executes three times — the
+    collect, the broadcast build, and the probe side all re-run the
+    lineage (the token_budget double-execution pattern). Checkpointed,
+    the corpus is scanned exactly twice (vocab build + scoring probe —
+    the probe re-scan is inherent, it is corpus-grain) and the
+    broadcast build reads the vocab-grain checkpoint.
+    Returns ``(id, lm_nll, n_tokens)``."""
     tk = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
     total = float(vocab.agg(F.sum("cnt")).collect()[0][0])
     topk = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
     m = float(10**grid)

@@ -1068,6 +1068,21 @@ def test_lm_score_broadcasts_vocab(spark, docs):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_lm_score_vocab_materialized_once(spark, docs):
+    """The broadcast build must read the CHECKPOINTED vocabulary, not
+    re-run the corpus explode + count shuffle: unmaterialized, the
+    full token lineage executes three times (total collect, broadcast
+    build, probe) — the token_budget double-execution pattern. The
+    final plan therefore carries exactly ONE Generate (the probe-side
+    explode) and an RDD scan on the build side."""
+    plan = (
+        textops.lm_score(docs, top_k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate explode") == 1
+    assert "Scan ExistingRDD" in plan
+
+
 def test_clean_lines_zero_shuffle_plan(spark, docs):
     plan = (
         textops.clean_lines(docs)
