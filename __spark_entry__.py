@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_strip": q.q_prefix_strip,
         "per_conv_stats": q.q_per_conv_stats,
         "dedup_exact": q.q_dedup_exact,
+        "incremental_dedup": q.q_incremental_dedup,
+        "sample_k": q.q_sample_k,
         "token_stats": q.q_token_stats,
         "quality": q.q_quality,
         "langid": q.q_langid,

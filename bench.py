@@ -60,6 +60,8 @@ def query_list(spark, sf_dir):
         ("stable_order", lambda: noop(q.q_stable_order(spark, sf_dir))),
         ("per_conv_stats", lambda: noop(q.q_per_conv_stats(spark, sf_dir))),
         ("dedup_exact", lambda: noop(q.q_dedup_exact(spark, sf_dir))),
+        ("incremental_dedup", lambda: noop(q.q_incremental_dedup(spark, sf_dir))),
+        ("sample_k", lambda: q.q_sample_k(spark, sf_dir).collect()),
         ("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect()),
         ("dedup_keepers", lambda: noop(q.q_dedup_keepers(spark, sf_dir))),
         ("dedup_pipeline", lambda: noop(q.q_dedup_pipeline(spark, sf_dir))),

@@ -108,6 +108,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def incremental_dedup(batch: DataFrame, seen: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      fingerprint_col: str = "fingerprint",
+                      broadcast_seen: bool = False) -> DataFrame:
+    """Dedup a NEW ingest batch against a historical fingerprint set —
+    the daily-ingest form of `exact_dedup`: a 100 TB corpus is never
+    re-deduped from scratch when a day's crawl lands; the new batch is
+    collapsed within itself, then anti-joined against the fingerprints
+    of everything already kept. ``seen`` needs only a
+    ``fingerprint_col`` column (the projection this op returns — feed
+    survivors back as the next batch's seen side; duplicates in seen
+    are harmless to anti-join semantics, so no distinct pass).
+
+    Scale shape: ONE batch shuffle total — the within-batch keeper
+    window hash-partitions the batch by fingerprint and the anti-join
+    reuses that exact partitioning (exchange reuse: join keys ==
+    window keys), so the batch's text bytes cross the wire once. The
+    seen side moves only its 32-char fingerprints (column-pruned scan);
+    with ``broadcast_seen`` (small/bloom-compacted histories) the
+    anti-join is broadcast and the seen shuffle disappears too.
+    Returns the surviving batch rows with ``fingerprint_col`` attached
+    for appending to the history."""
+    d = batch.withColumn(fingerprint_col, _content_fingerprint(text_col))
+    w = Window.partitionBy(fingerprint_col)
+    d = (
+        d.withColumn("_keep_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
+    s = seen.select(fingerprint_col)
+    if broadcast_seen:
+        s = F.broadcast(s)
+    return d.join(s, fingerprint_col, "left_anti")
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Text-expansion ops (shingling, hashing, n_perm aggregates) do
     ~100x work per input BYTE, so a scan split by file size

@@ -146,6 +146,30 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     return df.where(u < frac)
 
 
+def sample_k(df: DataFrame, k: int, id_col: str = "doc_id",
+             seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic uniform EXACT-k sample: order by the id unit-hash,
+    take the k smallest (ties id-asc). The degenerate (logw = 0) case
+    of `dsir_select`'s Gumbel top-k — hash order is uniform order, so
+    the k smallest hashes are a uniform k-subset that is a pure
+    function of (ids, seed): identical on reruns, cluster sizes, and
+    partitionings, unlike ``df.sample`` (partition-seeded) followed by
+    a limit (plan-order-dependent).
+
+    Scale shape: TakeOrderedAndProject — per-partition k-heaps, one
+    O(k)-row driver merge, NO global sort and NO shuffle. Also the
+    composable-subset property: sample_k(k1) ⊂ sample_k(k2) for
+    k1 <= k2 under the same seed (both are prefixes of the same hash
+    order), so nested eval subsets come free."""
+    u = unit_hash(id_col, seed, hash_fn)
+    return (
+        df.withColumn("_u", u)
+        .orderBy(F.asc("_u"), F.asc(id_col))
+        .limit(k)
+        .drop("_u")
+    )
+
+
 def _bucket(gram, n_buckets: int) -> F.Column:
     """md5-keyed feature-hash bucket — bit-identical across Spark and
     DuckDB (same first-8-hex-chars base-16 parse as `unit_hash`)."""

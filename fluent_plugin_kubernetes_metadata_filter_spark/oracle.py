@@ -307,6 +307,24 @@ SELECT doc_id, fingerprint,
        doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
 FROM d"""
 
+    q["incremental_dedup"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+seen AS (SELECT fingerprint FROM fp WHERE doc_id % 4 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 4 <> 0),
+keeper AS (
+  SELECT doc_id, fingerprint
+  FROM (SELECT doc_id, fingerprint,
+               MIN(doc_id) OVER (PARTITION BY fingerprint) AS k
+        FROM batch)
+  WHERE doc_id = k
+)
+SELECT doc_id, fingerprint FROM keeper
+WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)"""
+
     q["token_stats"] = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -884,6 +902,11 @@ FROM (SELECT doc_id, {pii_plant} AS t FROM documents)"""
     q["hash_split"] = f"""
 SELECT doc_id, CASE {whens_split} ELSE '{bounds[-1][0]}' END AS split
 FROM (SELECT doc_id, {_u_sql(42)} AS u FROM documents)"""
+
+    q["sample_k"] = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_u_sql(11)} AS u FROM documents)
+ORDER BY u, doc_id LIMIT 100"""
 
     q["stratified_sample"] = f"""
 SELECT doc_id, lang

@@ -270,6 +270,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, fingerprint=fp)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup against a historical fingerprint set: docs
+    with ``doc_id % 4 == 0`` play the already-kept corpus, the rest
+    arrive as the new batch — collapsed within itself (min-id keeper)
+    then anti-joined against the history. One batch shuffle: the
+    keeper window and the anti-join share the fingerprint
+    partitioning."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where(F.col("doc_id") % 4 == 0).select(
+        _content_fingerprint("text").alias("fingerprint")
+    )
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    return incremental_dedup(batch, seen).select("doc_id", "fingerprint")
+
+
+def q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform exact-k sample (k=100) by id-hash order —
+    TakeOrderedAndProject, no shuffle; md5 variant so the oracle
+    reproduces the exact subset."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_k(docs, k=100, seed=11, hash_fn="md5").select("doc_id", "lang")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel as one composed operator: quality
     gate (floored-score threshold, so the cut sits on the proven

@@ -35,6 +35,45 @@ def test_exact_dedup_finds_planted_copies(spark, docs_with_dups):
     assert not any(k >= 20000 for k in dups)  # near-copies are not exact dups
 
 
+def test_incremental_dedup_batch_vs_history(spark):
+    """Within-batch copies collapse to the min-id keeper; anything whose
+    fingerprint the history already holds is dropped; fresh content
+    survives with its fingerprint attached for the next batch."""
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new content one"),
+            (2, "brand new content one"),      # within-batch dup of 1
+            (3, "Already  Seen THING "),        # normalizes to seen text
+            (4, "brand new content two"),
+        ],
+        "doc_id long, text string",
+    )
+    seen_src = spark.createDataFrame(
+        [(100, "already seen thing")], "doc_id long, text string"
+    )
+    seen = seen_src.select(
+        dedup._content_fingerprint("text").alias("fingerprint")
+    )
+    out = dedup.incremental_dedup(batch, seen)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 4}
+    assert set(out.columns) == {"doc_id", "text", "fingerprint"}
+
+
+def test_incremental_dedup_single_batch_exchange(spark, docs):
+    """The keeper window and the anti-join must SHARE the fingerprint
+    hash partitioning: with a broadcast seen side the whole plan
+    carries exactly one Exchange (the batch's), and the anti-join is
+    broadcast — the batch's text bytes cross the wire once."""
+    seen = docs.where("doc_id % 7 = 0").select(
+        dedup._content_fingerprint("text").alias("fingerprint")
+    )
+    out = dedup.incremental_dedup(docs, seen, broadcast_seen=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_minhash_finds_near_dups(spark, docs_with_dups):
     pairs = dedup.minhash_dedup(docs_with_dups, threshold=0.5)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
@@ -845,6 +884,36 @@ def test_redact_pii_clean_text_unchanged(spark, docs):
 
 
 # --------------------------------------------- deterministic sampling
+
+
+def test_sample_k_exact_deterministic_composable(spark, docs):
+    """Exactly k rows, identical across reruns and partitionings, and
+    the k=5 sample is a PREFIX-subset of the k=15 sample (both are
+    prefixes of the same hash order) — the nested-eval-subset
+    property."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    s15 = {r.doc_id for r in sampling.sample_k(docs, 15).collect()}
+    s15_again = {
+        r.doc_id for r in sampling.sample_k(docs.repartition(7), 15).collect()
+    }
+    s5 = {r.doc_id for r in sampling.sample_k(docs, 5).collect()}
+    assert len(s15) == 15 and s15 == s15_again
+    assert s5 < s15
+
+
+def test_sample_k_is_heap_topk_no_shuffle(spark, docs):
+    """The plan must be TakeOrderedAndProject (per-partition k-heaps,
+    O(k) driver merge) — a global Sort or an Exchange means the
+    operator would sort 100 TB to pick 100 rows."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    plan = (
+        sampling.sample_k(docs, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
 
 
 def test_hash_split_total_deterministic_and_weighted(spark, docs):
