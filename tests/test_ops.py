@@ -60,6 +60,27 @@ def test_incremental_dedup_batch_vs_history(spark):
     assert set(out.columns) == {"doc_id", "text", "fingerprint"}
 
 
+def test_incremental_dedup_chains_across_batches(spark):
+    """The op's output IS the next batch's history increment: feeding
+    survivors' fingerprints forward makes day-2 drop day-1 content,
+    and the chained result equals a from-scratch exact_dedup over the
+    concatenated corpus (keeper = first arrival)."""
+    day1 = spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(10, "alpha content"), (11, "gamma content"), (12, "gamma content")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "fingerprint string")
+    kept1 = dedup.incremental_dedup(day1, empty)
+    seen = kept1.select("fingerprint")
+    kept2 = dedup.incremental_dedup(day2, seen)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+    assert {r.doc_id for r in kept2.collect()} == {11}
+
+
 def test_incremental_dedup_single_batch_exchange(spark, docs):
     """The keeper window and the anti-join must SHARE the fingerprint
     hash partitioning: with a broadcast seen side the whole plan
