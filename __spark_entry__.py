@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q.q_hash_split,
         "stratified_sample": q.q_stratified_sample,
         "pack_sequences": q.q_pack_sequences,
+        "pack_shuffled": q.q_pack_shuffled,
         "seed_similarity": q.q_seed_similarity,
         "paragraph_scrub": q.q_paragraph_scrub,
         "semantic_dedup": q.q_semantic_dedup,

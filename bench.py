@@ -82,6 +82,7 @@ def query_list(spark, sf_dir):
         ("redact_pii", lambda: noop(q.q_redact_pii(spark, sf_dir))),
         ("full_curation", lambda: noop(q.q_full_curation(spark, sf_dir))),
         ("pack_sequences", lambda: noop(q.q_pack_sequences(spark, sf_dir))),
+        ("pack_shuffled", lambda: noop(q.q_pack_shuffled(spark, sf_dir))),
         ("seed_similarity", lambda: noop(q.q_seed_similarity(spark, sf_dir))),
         ("semantic_dedup", lambda: noop(q.q_semantic_dedup(spark, sf_dir))),
         ("domain_mix", lambda: noop(q.q_domain_mix(spark, sf_dir))),

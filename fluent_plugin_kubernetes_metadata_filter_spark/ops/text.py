@@ -276,22 +276,43 @@ def token_budget(df: DataFrame, budget: int, text_col: str = "text",
 
 
 def pack_sequences(df: DataFrame, seq_len: int, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """GPT-style concat-and-chunk layout: lay documents end-to-end in
-    id order and cut the token stream into fixed ``seq_len`` training
-    sequences. Returns per doc its token count, its byte-stream-like
+                   id_col: str = "doc_id",
+                   shuffle_seed: int | None = None,
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """GPT-style concat-and-chunk layout: lay documents end-to-end and
+    cut the token stream into fixed ``seq_len`` training sequences.
+    Returns per doc its token count, its byte-stream-like
     ``start_offset`` in the global token stream, and ``bin_id`` =
     which training sequence the doc STARTS in (start_offset div
     seq_len) — the assignment a sharded packing writer needs to route
     each doc to its output shard deterministically.
 
+    ``shuffle_seed=None`` packs in id order; setting it packs in a
+    DETERMINISTIC shuffled order (sort key = the id unit-hash, id
+    tiebreak) — real pretraining packing shuffles document order
+    first so a training sequence doesn't stream one domain/crawl-run
+    in its source order, and doing it by hash keeps the layout a pure
+    function of (ids, seed): reproducible on any cluster size, no
+    global random permutation state. The shuffle costs nothing extra —
+    it just swaps the range-partition sort key inside the same
+    distributed ``pinned_prefix_sum``.
+
     The global offsets come from the distributed ``pinned_prefix_sum``
-    over (id) order; everything else is arithmetic. Deterministic for a
-    given corpus on any cluster size."""
+    over the chosen total order; everything else is arithmetic.
+    Deterministic for a given corpus on any cluster size."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unit_hash
+
     d = token_counts(df, text_col).select(
         F.col(id_col), F.col("n_tokens_ws").alias("n_tokens")
     )
-    c = pinned_prefix_sum(d, [F.asc(id_col)], "n_tokens", cum_col="_cum")
+    if shuffle_seed is None:
+        order = [F.asc(id_col)]
+    else:
+        d = d.withColumn("_u", unit_hash(id_col, shuffle_seed, hash_fn))
+        order = [F.asc("_u"), F.asc(id_col)]
+    c = pinned_prefix_sum(d, order, "n_tokens", cum_col="_cum")
+    if shuffle_seed is not None:
+        c = c.drop("_u")
     start = (F.col("_cum") - F.col("n_tokens")).alias("start_offset")
     return c.select(
         id_col,

@@ -735,6 +735,30 @@ SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
        (cum - n_tokens) // 512 AS bin_id
 FROM c"""
 
+    # shuffled packing: same layout over the deterministic hash order
+    # (md5 unit-hash, id tiebreak) instead of id order
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import DENOM
+
+    _pack_u = (
+        f"(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':5'),"
+        f" 1, 8) AS BIGINT) % {DENOM}) / {float(DENOM)!r}"
+    )
+    q["pack_shuffled"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({toks_l}) AS BIGINT) AS n_tokens,
+         {_pack_u} AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY u ASC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+       (cum - n_tokens) // 512 AS bin_id
+FROM c"""
+
     # the COMPLETE funnel: curation keepers ∩ repetition gate ∩
     # decontamination gate -> windowed token budget over survivors
     q["full_curation"] = f"""

@@ -504,6 +504,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=512)
 
 
+def q_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing over the deterministic SHUFFLED document order (id
+    unit-hash sort key, md5 variant so the oracle reproduces the exact
+    permutation) — same distributed prefix sum, different range-
+    partition key."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512, shuffle_seed=5, hash_fn="md5")
+
+
 def q_seed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-style quality scoring: max cosine of every embedding
     to the vec_id % 101 == 0 seed slice, seeds compiled as expression

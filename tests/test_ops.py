@@ -1053,6 +1053,35 @@ def test_pack_sequences_partitioning_independent(spark):
         acc += n
 
 
+def test_pack_sequences_shuffled_order(spark):
+    """shuffle_seed packs in unit-hash order: the layout is a valid
+    contiguous packing (same token total, every start = a prefix sum
+    of the permuted order), is NOT the id order for this corpus, and
+    is identical across reruns/partitionings."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unit_hash
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i + 1))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, textops.pack_sequences(df, 16, shuffle_seed=3).collect()))
+    b = sorted(map(tuple, textops.pack_sequences(
+        df.repartition(5), 16, shuffle_seed=3).collect()))
+    assert a == b
+    # the permutation is exactly sort-by-unit-hash
+    order = [
+        r.doc_id for r in df.select(
+            "doc_id", unit_hash("doc_id", 3).alias("u")
+        ).orderBy("u", "doc_id").collect()
+    ]
+    got = {r[0]: r for r in a}
+    acc = 0
+    for did in order:
+        assert got[did][2] == acc  # start_offset follows the hash order
+        acc += got[did][1]
+    assert order != sorted(order)  # genuinely shuffled for this corpus
+
+
 def test_repetition_signals_single_doc_grain_exchange(spark, docs):
     """The explicit doc-id repartition must be the ONLY exchange: hash
     partitioning on id is a subset of every downstream grouping key, so
