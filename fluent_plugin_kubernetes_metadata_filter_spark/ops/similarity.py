@@ -198,6 +198,17 @@ def kmeans_centroids(df: DataFrame, dim: int, k: int = 16, n_iter: int = 2,
     (groupBy assigned-centroid -> avg per dimension). Returns plain
     Python lists so callers can compile them into expressions.
 
+    Determinism contract, precisely: at ``n_iter=0`` the centroids are
+    an exact pure function of (ids, seed) — this is the variant the
+    value-gated queries use. Lloyd-refined centroids (``n_iter>0``) are
+    deterministic only up to FLOAT SUMMATION ORDER: ``F.sum`` over
+    doubles re-associates with the partitioning, so refined centroid
+    low-order bits can differ run-to-run and a vector sitting within
+    an ulp of an argmin boundary may flip clusters. Callers that need
+    bit-stable output across reruns (the correctness gate, reproducible
+    corpus snapshots) use the seed quantizer; the refined variant
+    trades that for tighter clusters, the standard k-means bargain.
+
     Driver-side state is k x dim floats — tiny; the per-iteration work is
     one shuffle keyed by centroid id (k keys, salted by AQE if skewed).
     """
