@@ -58,3 +58,21 @@ def test_oracle_outputs_use_only_hashable_types():
         if offending:
             bad[name] = offending
     assert not bad, f"oracle outputs with non-hashable types: {bad}"
+
+
+def test_bench_labels_name_real_driver_queries():
+    """Every per-query label bench.py reports must be a queries() key,
+    so BENCH_r{N}.json rows stay joinable against CORRECTNESS_r{N}.json
+    round-over-round. The two enrich_route_write variants are
+    pipeline-level composites (they run pipeline.run, which has no
+    single-query equivalent) and are the only sanctioned exceptions."""
+    import bench
+    import __spark_entry__ as e
+
+    # query_list only touches spark/sf_dir inside the lazy thunks, so
+    # the label inventory is extractable without a session.
+    labels = [name for name, _ in bench.query_list(None, "")]
+    assert len(labels) == len(set(labels)), "duplicate bench labels"
+    composites = {"enrich_route_write", "enrich_route_write_direct"}
+    unknown = set(labels) - composites - set(e.queries())
+    assert unknown == set(), unknown
