@@ -9,12 +9,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 # Tiny per-language stopword profiles for the n-gram-free heuristic.
-_PROFILES = {
+# SINGLE SOURCE OF TRUTH: the DuckDB oracle rebuilds its argmax SQL
+# from this dict, so adding a language here extends BOTH engines in
+# lockstep (dict order = tie-break precedence: earlier wins).
+# Overlapping words across profiles (es/nl "de", en/nl "is") are fine —
+# the argmax counts per-profile hits and ties resolve to the earlier
+# profile, so a genuine en/es document never flips to a later language
+# on shared stopwords alone. ASCII-only words: tokens are
+# lower(trim(split \s+)) and the sandbox corpus is ASCII-verified.
+LANG_PROFILES = {
     "en": ("the", "a", "of", "and", "to", "is", "in"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
     "fr": ("le", "la", "les", "et", "est", "une", "des"),
     "es": ("el", "la", "los", "y", "es", "una", "de"),
+    "it": ("il", "di", "che", "e", "un", "per", "non"),
+    "pt": ("o", "do", "da", "que", "em", "um", "uma"),
+    "nl": ("de", "het", "een", "en", "van", "op", "niet"),
 }
+_PROFILES = LANG_PROFILES  # backward-compat internal alias
 
 # GPT-style pre-tokenizer regex (public BPE pattern family): words with
 # optional leading space, numbers, punctuation runs.

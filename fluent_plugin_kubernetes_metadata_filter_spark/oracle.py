@@ -639,13 +639,13 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.2"""
 WITH {_jaccard_ctes(fallback=True)}
 SELECT id_a, id_b, jaccard FROM jac WHERE raw_j >= 0.5"""
 
-    # argmax over stopword profiles; WHEN order = en,de,fr,es (ties -> en)
-    prof = {
-        "en": ("the", "a", "of", "and", "to", "is", "in"),
-        "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
-        "fr": ("le", "la", "les", "et", "est", "une", "des"),
-        "es": ("el", "la", "los", "y", "es", "una", "de"),
-    }
+    # argmax over stopword profiles, rebuilt from the ENGINE's own
+    # profile dict so Spark and DuckDB extend in lockstep; WHEN order =
+    # dict order (ties -> earlier profile), matching langid()'s
+    # reversed-when-chain precedence.
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import (
+        LANG_PROFILES as prof,
+    )
     hits = {
         lang: (
             "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "

@@ -510,7 +510,7 @@ def test_langid_beats_chance(spark, docs):
     valid labels, and 'the/a/of'-bearing docs classified en."""
     r = textops.langid(docs).select("doc_id", "lang", "lang_pred")
     rows = r.collect()
-    assert all(x.lang_pred in ("en", "de", "fr", "es", "unk") for x in rows)
+    assert all(x.lang_pred in (*textops.LANG_PROFILES, "unk") for x in rows)
     again = textops.langid(docs).select("doc_id", "lang_pred").collect()
     assert {(x.doc_id, x.lang_pred) for x in again} == {(x.doc_id, x.lang_pred) for x in rows}
 
