@@ -50,6 +50,7 @@ class PipelineStats:
 
     def __init__(self) -> None:
         self._observations: list[Observation] = []
+        self._drops: list[tuple[str, object]] = []
         self._t0 = time.time()
 
     def attach(self, enriched_df: DataFrame) -> DataFrame:
@@ -58,6 +59,18 @@ class PipelineStats:
         cols = [v.alias(k) for k, v in _counters().items()]
         return enriched_df.observe(obs, *cols)
 
+    def attach_drops(self, kind: str, drops) -> "PipelineStats":
+        """Register a capped-expansion ``DropObservation`` (returned by
+        ops.dedup.grouped_pair_expansion / minhash_dedup / simhash_pairs
+        / dedup_pipeline's ``obs_out``, or ops.similarity's near-dup
+        expansion) under a counter namespace, so production runs report
+        cap drops alongside the sink counts instead of discarding them.
+        ``dump`` emits ``{kind}_dropped_tokens`` (summed across batches)
+        and ``{kind}_max_df`` (max observed); like the enrich counters,
+        reading blocks until the consuming action has run."""
+        self._drops.append((kind, drops))
+        return self
+
     def dump(self) -> dict:
         """The dump_stats analogue: counters summed over every observed
         batch + wall time, JSON-able."""
@@ -65,6 +78,13 @@ class PipelineStats:
         for obs in self._observations:
             for k, v in dict(obs.get).items():
                 vals[k] = vals.get(k, 0) + v
+        for kind, drops in self._drops:
+            d = drops.get
+            k = f"{kind}_dropped_tokens"
+            vals[k] = vals.get(k, 0) + d["dropped_tokens"]
+            if d["max_df"] is not None:
+                mk = f"{kind}_max_df"
+                vals[mk] = max(vals.get(mk, 0), d["max_df"])
         vals["wall_time_sec"] = round(time.time() - self._t0, 3)
         return vals
 

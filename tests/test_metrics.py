@@ -61,3 +61,33 @@ def test_ns_only_counter_respects_custom_orphan_id(spark):
     agg = df.agg(*[v.alias(k) for k, v in _counters().items()]).collect()[0]
     assert agg["id_cache_pod_not_found_namespace"] == 1
     assert agg["id_cache_orphaned_record"] == 1
+
+
+def test_drop_counters_surface_in_stats_dump(spark):
+    """VERDICT r4 item 6: a planted over-cap LSH bucket's drops must
+    show up in the PipelineStats dump alongside the enrich counters —
+    the reference's dump_stats analogue for the dedup path — not just
+    on the per-op DropObservation."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup
+
+    cluster = [(d, f"the same templated page body repeated verbatim copy {d}")
+               for d in range(12)]
+    docs = spark.createDataFrame(cluster, "doc_id long, text string")
+
+    stats = PipelineStats()
+    obs_out = {}
+    enriched = stats.attach(pipeline.enrich_transcripts(spark, SF))
+    out = dedup.dedup_pipeline(docs, threshold=0.3, bucket_cap=5,
+                               obs_out=obs_out)
+    stats.attach_drops("minhash_lsh", obs_out["minhash_lsh_drops"])
+
+    n = enriched.count()
+    out.collect()
+    d = stats.dump()
+    assert d["events_total"] == n  # enrich counters still present
+    assert d["minhash_lsh_dropped_tokens"] > 0
+    assert d["minhash_lsh_max_df"] > 5
+
+    import json
+
+    json.loads(stats.dump_json())  # drop counters serialize too
