@@ -295,3 +295,27 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
         .dropDuplicatesWithinWatermark(["_dedup_fp"])
         .drop("_dedup_fp")
     )
+
+
+def dedup_enrich_stream(stream_df: DataFrame,
+                        dims_loader: Callable[[], tuple[DataFrame, DataFrame]],
+                        sink: Callable[[DataFrame, int], None],
+                        cfg: PipelineConfig = PipelineConfig(),
+                        text_col: str = "text", ts_col: str = "ts",
+                        delay: str = "30 minutes",
+                        checkpoint_dir: str | None = None,
+                        watch_stats: WatchStats | None = None) -> StreamingQuery:
+    """Dedup-on-ingest composed ahead of enrichment — the streaming
+    mirror of the batch dedup-then-enrich story: crawl re-fetches and
+    retry storms are collapsed by the watermark-bounded fingerprint
+    state BEFORE the dim joins spend any work on them, and each
+    surviving micro-batch then takes the identical per-batch
+    dim-refresh path as ``enrich_stream``. One job, one checkpoint;
+    the dedup state bound is ``dedup_stream``'s TTL trade, and the
+    routed output equals the batch path run on the fingerprint-deduped
+    input (parity-tested against ``enrich`` over the same rows)."""
+    deduped = dedup_stream(stream_df, text_col=text_col, ts_col=ts_col,
+                           delay=delay)
+    return enrich_stream(deduped, dims_loader, sink, cfg,
+                         checkpoint_dir=checkpoint_dir,
+                         watch_stats=watch_stats)

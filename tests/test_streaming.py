@@ -254,3 +254,76 @@ def test_dedup_stream_drops_cross_batch_copies(spark, tmp_path):
     # doc 3 is a normalized duplicate of doc 1 -> dropped; one of {1,3}
     # survives (whichever batch ran first) plus both distinct texts
     assert len(got) == 3 and 2 in got and 4 in got and (1 in got) != (3 in got)
+
+
+def test_dedup_enrich_stream_matches_batch_route(spark, tmp_path):
+    """VERDICT r4 item 7: dedup-on-ingest -> enrich -> route as ONE
+    streaming job. Cross-batch duplicate texts are dropped before the
+    dim joins, and the per-sink counts equal the batch path (fingerprint
+    dedup + enrich) over the same rows. Timestamps are pinned into a
+    narrow window so no fingerprint state expires mid-test (the TTL
+    trade is exercised separately in the dedup_stream test); both paths
+    see the same pinned ts, so enrichment parity is unaffected."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+    )
+
+    src = spark.read.parquet(f"{aux_dir(SF)}/transcripts.parquet")
+    uniq = (
+        src.dropDuplicates(["text"])  # unique texts: keeper choice can't matter
+        .orderBy("conv_id", "turn_idx")
+        .limit(120)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 12:00:00")))
+    )
+    rows = uniq.collect()
+    b1 = spark.createDataFrame(rows[:100], uniq.schema)
+    # a re-fetch storm: copies of 30 batch-1 rows arriving a minute later
+    # (same text AND same conv -> same sink whichever copy survives)
+    dup = spark.createDataFrame(rows[:30], uniq.schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    b2 = dup.unionByName(spark.createDataFrame(rows[100:120], uniq.schema))
+    d = str(tmp_path / "in")
+    b1.coalesce(1).write.parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(uniq.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    loader = streaming.default_dims_loader(spark, SF)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.append(
+            batch_df.groupBy(
+                F.coalesce("namespace_name", F.lit("__passthrough__")).alias("sink")
+            ).count().collect()
+        )
+
+    q = streaming.dedup_enrich_stream(
+        stream, loader, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    streamed = {}
+    for batch in results:
+        for r in batch:
+            streamed[r.sink] = streamed.get(r.sink, 0) + r["count"]
+
+    pods, ns = loader()
+    batch_in = (
+        spark.read.parquet(d)
+        .withColumn("_fp", _content_fingerprint("text"))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+    batch_counts = {
+        r.sink: r["count"]
+        for r in enrich(batch_in, pods, ns)
+        .groupBy(F.coalesce("namespace_name", F.lit("__passthrough__")).alias("sink"))
+        .count()
+        .collect()
+    }
+    assert streamed == batch_counts
+    assert sum(streamed.values()) == 120  # the 30 cross-batch copies dropped
