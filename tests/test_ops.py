@@ -1467,3 +1467,16 @@ def test_token_arrays_staged_once_in_hot_plans(spark, docs):
             f"{name}: {plan.count('split(')} split() occurrences "
             f"(expected <= {n_inputs}) — token array no longer staged"
         )
+
+
+def test_langid_each_profile_classifies_its_own_words(spark):
+    """A doc made of exactly one profile's stopwords scores 7 on that
+    profile and at most a couple on any other (shared words like es/nl
+    'de' or fr/it 'e' overlap), so argmax picks it — pins that adding
+    languages keeps every profile reachable and ties keep resolving to
+    the earlier dict entry."""
+    rows = [(i, lang, " ".join(ws))
+            for i, (lang, ws) in enumerate(textops.LANG_PROFILES.items())]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.lang: r.lang_pred for r in textops.langid(docs).collect()}
+    assert got == {lang: lang for lang in textops.LANG_PROFILES}
