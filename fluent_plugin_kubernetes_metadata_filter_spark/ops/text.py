@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 # SINGLE SOURCE OF TRUTH: the DuckDB oracle rebuilds its argmax SQL
 # from this dict, so adding a language here extends BOTH engines in
 # lockstep (dict order = tie-break precedence: earlier wins).
-# Overlapping words across profiles (es/nl "de", en/nl "is") are fine —
+# Overlapping words across profiles (es/nl "de", fr/es "la") are fine —
 # the argmax counts per-profile hits and ties resolve to the earlier
 # profile, so a genuine en/es document never flips to a later language
 # on shared stopwords alone. ASCII-only words: tokens are
