@@ -342,8 +342,11 @@ def _assign_gemm(df: DataFrame, cents: list[list[float]],
     C = np.asarray(cents, dtype=np.float64)
     b_c = df.sparkSession.sparkContext.broadcast(C)
     m = float(10**grid) if grid is not None else None
+    # carry the caller's id type through (string ids are as valid as
+    # int64 here — nothing in the GEMM touches the id column)
+    id_type = df.schema[id_col].dataType
     fields = [
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, id_type),
         T.StructField("cluster", T.IntegerType()),
         T.StructField("dist", T.DoubleType()),
     ]
@@ -363,7 +366,7 @@ def _assign_gemm(df: DataFrame, cents: list[list[float]],
             if len(pdf) == 0:
                 continue
             V0 = np.array(list(pdf[vec_col]), dtype=np.float64)
-            ids0 = pdf[id_col].to_numpy(dtype=np.int64)
+            ids0 = pdf[id_col].to_numpy()  # keep the native dtype
             for s in range(0, len(V0), rows_per_chunk):
                 V = V0[s:s + rows_per_chunk]
                 d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + cc[None, :]

@@ -240,9 +240,18 @@ def pinned_prefix_sum(d: DataFrame, order_cols: list, value_col: str,
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    if not prefix:  # empty input: no map to build, nothing to emit
+    if not prefix:  # empty input: no map to build, nothing to emit.
+        # Use the SAME expression shape as the non-empty branch
+        # (windowed sum + bigint offset) so the output schema does not
+        # depend on whether the input was empty — sum()'s natural type
+        # widens int->bigint but keeps double as double.
+        w0 = (
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         return d.where(F.lit(False)).withColumn(
-            cum_col, F.col(value_col).cast("bigint")
+            cum_col, F.sum(value_col).over(w0) + F.lit(0).cast("bigint")
         ).drop("_pid")
     pmap = F.create_map(
         *[c for pid, off in prefix.items()

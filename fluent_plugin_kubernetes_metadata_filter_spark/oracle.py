@@ -783,9 +783,17 @@ big AS (
   FROM rtk, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
 ),
 bigc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+-- engine's repetition_signals emits top2_frac = 0.0 for docs with no
+-- bigram (< 2 tokens), which PASSES the gate; derive rep_ok from ALL
+-- docs with COALESCE so such degenerate docs are not silently excluded
+repf AS (
+  SELECT doc_id, floor(MAX(cnt) * 1.0 / SUM(cnt) * 10000) / 10000 AS frac
+  FROM bigc GROUP BY 1
+),
 rep_ok AS (
-  SELECT doc_id FROM bigc GROUP BY 1
-  HAVING floor(MAX(cnt) * 1.0 / SUM(cnt) * 10000) / 10000 <= 0.15
+  SELECT d.doc_id FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN repf r USING (doc_id)
+  WHERE COALESCE(r.frac, 0) <= 0.15
 ),
 {_jaccard_ctes(fallback=True)},
 ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),

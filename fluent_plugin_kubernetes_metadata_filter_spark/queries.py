@@ -583,7 +583,10 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     structured = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    return clean_lines(structured, ban_substrings=())
+    # page_ban_substrings=() too: the oracle's keep gate is n_kept >= 3
+    # only, so the engine's default page markers ('lorem ipsum', '{')
+    # must be off or a corpus doc containing one would flip keep
+    return clean_lines(structured, ban_substrings=(), page_ban_substrings=())
 
 
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

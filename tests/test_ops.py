@@ -1356,6 +1356,20 @@ def test_assign_gemm_parity_with_expr(spark, emb):
         assert er == gr
 
 
+def test_assign_gemm_carries_string_id_type(spark):
+    """_assign_gemm must pass a non-long id column through untouched
+    (the id never enters the GEMM) — the output schema derives from the
+    input's id type instead of hardcoding LongType."""
+    rows = [(f"doc-{i}", [float(i), float(i % 3), 0.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "sid string, v array<double>")
+    cents = [[0.0, 0.0, 0.0, 1.0], [8.0, 1.0, 0.0, 1.0]]
+    out = similarity._assign_gemm(df, cents, "sid", "v", grid=4)
+    assert dict(out.dtypes)["sid"] == "string"
+    got = {r.sid: r.cluster for r in out.collect()}
+    assert set(got) == {f"doc-{i}" for i in range(12)}
+    assert got["doc-0"] == 0 and got["doc-11"] == 1
+
+
 def test_semantic_dedup_gemm_parity(spark, emb):
     me, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
                                       n_iter=0, assign="expr")

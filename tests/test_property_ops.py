@@ -42,6 +42,23 @@ def test_pinned_prefix_sum_matches_sequential_model(spark, rows, nparts):
     assert got == want
 
 
+def test_pinned_prefix_sum_empty_input_keeps_value_type(spark):
+    """The empty-input branch must produce the SAME cum type as the
+    non-empty branch — for a double value column that is double, not a
+    bigint cast (the schema must not depend on whether rows exist)."""
+    schema = "id long, v double"
+    full = spark.createDataFrame([(1, 1.5), (2, 2.5)], schema)
+    empty = spark.createDataFrame([], schema)
+    t_full = dict(pinned_prefix_sum(full, [F.asc("id")], "v").dtypes)["cum"]
+    t_empty = dict(pinned_prefix_sum(empty, [F.asc("id")], "v").dtypes)["cum"]
+    assert t_full == t_empty == "double"
+    # and for integral values both branches widen to bigint
+    fi = spark.createDataFrame([(1, 5)], "id long, v int")
+    ei = spark.createDataFrame([], "id long, v int")
+    assert dict(pinned_prefix_sum(fi, [F.asc("id")], "v").dtypes)["cum"] == "bigint"
+    assert dict(pinned_prefix_sum(ei, [F.asc("id")], "v").dtypes)["cum"] == "bigint"
+
+
 weights_strategy = st.lists(
     st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
     min_size=1,
