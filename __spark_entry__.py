@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q.q_semantic_dedup,
         "cluster_sample": q.q_cluster_sample,
         "dsir_weights": q.q_dsir_weights,
+        "substring_dedup": q.q_substring_dedup,
         "dsir_select": q.q_dsir_select,
         "tfidf_terms": q.q_tfidf_terms,
         "ngram_stats": q.q_ngram_stats,

@@ -902,3 +902,122 @@ def paragraph_scrub(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
         F.count(F.when(keep, 1)).alias("n_kept"),
         F.count(F.when(~keep, 1)).alias("n_scrubbed"),
     )
+
+
+def substring_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", min_count: int = 2) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2021, arXiv:2107.06499
+    ExactSubstr): excise every token span of length >= ``k`` whose
+    exact content occurs at least ``min_count`` times in the corpus —
+    the modality doc-level MinHash and paragraph-boundary dedup both
+    miss when a long verbatim quote sits inside otherwise-distinct
+    documents or straddles paragraph breaks.
+
+    Mechanics: every doc emits its sliding k-token window fingerprints
+    with their start positions; a window is DUPLICATED when its
+    fingerprint occurs >= ``min_count`` times corpus-wide (within-doc
+    repeats count — a verbatim self-quote is excised too, so unlike the
+    paper's all-but-one policy EVERY occurrence of a duplicated span is
+    removed; deterministic, no keeper election). Per doc, duplicated
+    windows are merged into maximal spans (gaps-and-islands over start
+    positions: a window starting at or before the running max end of
+    its predecessors extends the current island), and the doc is
+    rebuilt from the tokens OUTSIDE the merged spans. Returns
+    ``(id, clean_text, n_tokens, n_dup_tokens, n_spans)`` for EVERY
+    input doc — never drops rows, text is whitespace-normalized
+    lowercase (the shared ``tokenize``).
+
+    Window fingerprints are multi-arg ``xxhash64`` over the k tokens
+    (the MinHash string-free trick: tokens are space-free, so the
+    token tuple and the space-joined window string induce the same
+    equivalence classes, minus a negligible int64 collision
+    probability the DuckDB oracle — which counts the raw window
+    strings — would surface).
+
+    Scale shape (the ``paragraph_dedup`` doctrine): four bounded
+    exchanges — (1) groupBy window fingerprint for the corpus-wide
+    occurrence count (map-side combined, int64 keys, rows = distinct
+    windows); (2) a sort-merge join of the window grain against that
+    frequency table, NOT a window-function count (which would pin all
+    occurrences of a hot boilerplate window in one unsplittable task)
+    and NOT broadcast (the duplicated-window set is corpus-sized) —
+    a hot fingerprint is plain SMJ skew that AQE splits; (3) one
+    doc-grain exchange that the islands window, the span groupBy, and
+    the span-array groupBy ALL share (every grouping key contains the
+    partition key); (4) the doc-grain sort-merge join back to the
+    corpus. Span merge and gap reassembly are per-row expressions —
+    the collect_list is bounded by a single doc's own span count.
+
+    The plan scans the corpus three times (freq build, join probe,
+    reassembly) and runs the window-hash map stage twice — deliberate:
+    the window grain is ~4x the text bytes, so persisting it trades a
+    recomputed MAP-ONLY stage (scan + hash, no shuffle) for a
+    corpus-sized cache, and folding positions into the frequency
+    aggregation (collect_list per fingerprint) is unbounded on a hot
+    boilerplate window. Only the narrow (id, pos, int64) grain ever
+    crosses a shuffle; the text bytes cross exactly one (reassembly)."""
+    d = _spread(df, id_col).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+    )
+    tk = F.col("_tk")
+    # sliding k-token window hashes; docs shorter than k emit none
+    win_hashes = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+            lambda i: F.xxhash64(*[F.element_at(tk, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = d.select(
+        F.col(id_col), F.posexplode(win_hashes).alias("pos", "_wfp")
+    )
+    freq = (
+        wins.groupBy("_wfp")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .where(F.col("_wc") >= min_count)
+    )
+    dup = wins.join(freq, "_wfp").select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "_brk",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("a"),
+        (F.max("pos") + k).cast("int").alias("b"),
+    )
+    span_arr = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("a", "b"))).alias("_spans")
+    )
+    j = d.join(span_arr, id_col, "left")
+    sp = F.coalesce(F.col("_spans"), F.array().cast("array<struct<a:int,b:int>>"))
+    n = F.size(tk)
+    nspans = F.size(sp)
+
+    def gap(i):
+        # gap i sits between span i and span i+1 (0 = before the first
+        # span, nspans = after the last); when() is branch-lazy, so the
+        # out-of-range element_at in the untaken branch never evaluates
+        start0 = (
+            F.when(i == F.lit(0), F.lit(0))
+            .otherwise(F.element_at(sp, i)["b"])
+        )
+        end0 = F.when(i == nspans, n).otherwise(F.element_at(sp, i + 1)["a"])
+        return F.slice(tk, start0 + 1, end0 - start0)
+
+    kept = F.flatten(F.transform(F.sequence(F.lit(0), nspans), gap))
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(kept)).cast("bigint").alias("n_dup_tokens"),
+        nspans.cast("bigint").alias("n_spans"),
+    )

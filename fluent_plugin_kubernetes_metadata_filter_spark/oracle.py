@@ -864,6 +864,59 @@ SELECT doc_id,
 FROM pf JOIN dfreq USING (fp)
 GROUP BY 1"""
 
+    # exact substring dedup: duplicated 8-token windows merged into
+    # maximal spans (gaps-and-islands), docs rebuilt from tokens outside
+    # the spans — the oracle counts raw window STRINGS where the engine
+    # hashes the token tuples (same classes: tokens are space-free)
+    q["substring_dedup"] = """
+WITH tks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
+  FROM tks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+freq AS (SELECT win FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (win)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (SELECT doc_id, island, MIN(pos) AS a, MAX(pos) + 8 AS b FROM isl2 GROUP BY 1, 2),
+toks AS (
+  SELECT doc_id, i - 1 AS p, w[i] AS tok
+  FROM tks, unnest(generate_series(1, len(w))) AS t(i)
+),
+keep AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.p >= s.a AND t.p < s.b)
+),
+kept_agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, COUNT(*) AS n_kept
+  FROM keep GROUP BY 1
+),
+nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1),
+base AS (SELECT doc_id, len(w) AS n FROM tks)
+SELECT b.doc_id,
+       COALESCE(ka.clean_text, '') AS clean_text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(nsp.n_spans, 0) AS BIGINT) AS n_spans
+FROM base b
+LEFT JOIN kept_agg ka USING (doc_id)
+LEFT JOIN nsp USING (doc_id)"""
+
     # Gopher-style repetition: most-frequent-n-gram fraction per doc
     # for n=1,2,3; docs shorter than n tokens score 0.0 for that n
     rep_cols = ", ".join(

@@ -552,6 +552,18 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_scrub(structured, ev)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr): every
+    8-token span occurring >= 2 times corpus-wide is excised from every
+    doc that carries it and docs are rebuilt from the surviving tokens.
+    The planted duplicate/near-duplicate clusters share long verbatim
+    runs, so ~10% of the corpus loses spans."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup(docs, k=8)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring: vocabulary truncated to the top 32
     tokens (cnt desc, token asc tiebreak — deterministic on both

@@ -1450,6 +1450,59 @@ def test_dsir_large_bucket_count_switches_to_broadcast_dim(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_substring_dedup_excises_planted_spans(spark):
+    """Cross-doc 8-token spans are excised from BOTH carriers (all
+    occurrences removed, deterministic — no keeper election), merged
+    into one maximal span when windows overlap; within-doc verbatim
+    repeats are excised too; docs without duplicated spans pass
+    through normalized; every input doc is retained."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta UNIQUE1 one two"),
+        (2, "prefix alpha beta gamma delta epsilon zeta eta theta SUFFIX"),
+        (3, "totally different words here nothing shared at all okay"),
+        (4, "short doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.substring_dedup(df, k=8).collect()}
+    assert len(got) == 6
+    # the shared 8-token run disappears from both docs, neighbors stay
+    assert got[1].clean_text == "unique1 one two"
+    assert got[2].clean_text == "prefix suffix"
+    assert (got[1].n_spans, got[1].n_dup_tokens) == (1, 8)
+    assert (got[2].n_spans, got[2].n_dup_tokens) == (1, 8)
+    # unique docs pass through (lowercased by the shared tokenize)
+    assert got[3].clean_text == rows[2][1] and got[3].n_dup_tokens == 0
+    assert got[4].clean_text == "short doc" and got[4].n_spans == 0
+    # within-doc repetition: overlapping dup windows merge to ONE span
+    # covering the whole doc
+    assert got[5].clean_text == "" and got[5].n_spans == 1
+    assert got[5].n_dup_tokens == got[5].n_tokens == 16
+    assert got[6].clean_text == ""
+
+
+def test_substring_dedup_merges_disjoint_spans_and_min_count(spark):
+    """Two separated duplicated runs in one doc give two spans; raising
+    min_count above the occurrence count disables excision."""
+    span_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    span_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, f"{span_a} MID1 MID2 MID3 {span_b}"),
+        (2, f"left {span_a} right"),
+        (3, f"{span_b} tail words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.substring_dedup(df, k=8).collect()}
+    assert got[1].n_spans == 2
+    assert got[1].clean_text == "mid1 mid2 mid3"
+    assert got[2].clean_text == "left right"
+    assert got[3].clean_text == "tail words"
+    # each span occurs exactly twice: min_count=3 keeps everything
+    kept = {r.doc_id: r for r in dedup.substring_dedup(df, k=8, min_count=3).collect()}
+    assert all(kept[i].n_dup_tokens == 0 for i in (1, 2, 3))
+
+
 def test_token_arrays_staged_once_in_hot_plans(spark, docs):
     """Token/shingle arrays must be STAGED through a real column in
     every gram-building op: an inline split() gets duplicated by
@@ -1473,10 +1526,14 @@ def test_token_arrays_staged_once_in_hot_plans(spark, docs):
         "minhash_md5": dedup.minhash_signatures(docs, n_perm=4, shingle_hash="md5"),
         # two text inputs (corpus + eval), one split each
         "decontaminate": dedup.decontaminate(docs, eval_df),
+        # one text input scanned three times by design (freq build,
+        # join probe, doc-grain reassembly — see the op's docstring),
+        # one split per scan
+        "substring_dedup": dedup.substring_dedup(docs, k=8),
     }
     for name, df in cases.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_inputs = 2 if name == "decontaminate" else 1
+        n_inputs = {"decontaminate": 2, "substring_dedup": 3}.get(name, 1)
         assert plan.count("split(") <= n_inputs, (
             f"{name}: {plan.count('split(')} split() occurrences "
             f"(expected <= {n_inputs}) — token array no longer staged"
