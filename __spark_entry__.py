@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q.q_domain_mix,
         "clean_lines": q.q_clean_lines,
         "lm_score": q.q_lm_score,
+        "media_phash": q.q_media_phash,
+        "media_neardup": q.q_media_neardup,
         "media_features": q.q_media_features,
         "media_frames": q.q_media_frames,
         "quality_full": q.q_quality_full,

@@ -170,3 +170,90 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def bp_grid_decoder(payload: pd.Series) -> pd.Series:
+    """64-cell variant of ``bp_feature_decoder`` — the perceptual-hash
+    grid. A real image deployment decodes to an 8x8 grayscale thumbnail
+    (classic aHash); this deterministic stand-in derives the 64 cells
+    from payload byte chunks with the same exact integer arithmetic
+    (chunk_sum * 10000 // (chunk_len * 255)), so an independent engine
+    can recompute every cell from the same bytes."""
+    def feat(b: bytes) -> list[float]:
+        if b is None or len(b) == 0:
+            return [0.0] * 64
+        a = np.frombuffer(b, dtype=np.uint8)
+        return [
+            float(int(c.sum()) * 10000 // (len(c) * 255)) if len(c) else 0.0
+            for c in np.array_split(a, 64)
+        ]
+
+    return payload.map(feat)
+
+
+def perceptual_hash(df: DataFrame,
+                    decoder: Callable[[pd.Series], pd.Series] = unavailable_decoder,
+                    id_col: str = "media_id") -> DataFrame:
+    """Average-hash (aHash) over the decoded 64-cell grid: bit i is set
+    when cell i is STRICTLY above the floored integer mean of the 64
+    cells; the 64 bits pack into one signed int64 (bit 63 contributes
+    the min-long value — two's complement, identical in any engine).
+
+    The decode runs once per item in the Arrow-batched mapInPandas of
+    ``extract_features``; everything after it — mean, bits, packing —
+    is JVM expression work on the narrow (id, feature) rows, so the
+    binary payload never crosses a shuffle and the hash stage is a free
+    rider on the decode pass. Returns ``(id, kind, phash)``."""
+    feats = extract_features(df, decoder=decoder)
+    g = F.transform(F.col("feature"), lambda x: x.cast("bigint"))
+    staged = feats.select(
+        id_col, "kind", g.alias("_g")
+    ).select(
+        id_col,
+        "kind",
+        F.col("_g"),
+        # floored integer mean; cell sum <= 64*10000 so the double
+        # division is exact
+        F.floor(
+            F.aggregate(F.col("_g"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+            / F.lit(64)
+        ).cast("bigint").alias("_m"),
+    )
+    terms = [
+        F.when(
+            F.element_at(F.col("_g"), i + 1) > F.col("_m"),
+            F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    phash = terms[0]
+    for t in terms[1:]:
+        phash = phash + t
+    return staged.select(id_col, "kind", phash.cast("bigint").alias("phash"))
+
+
+def media_neardup(df: DataFrame,
+                  decoder: Callable[[pd.Series], pd.Series] = unavailable_decoder,
+                  id_col: str = "media_id", max_hamming: int = 3,
+                  n_chunks: int = 5, bucket_cap: int | None = None,
+                  obs_out: dict | None = None) -> DataFrame:
+    """Perceptual near-duplicate pairs over a media table: aHash each
+    item (``perceptual_hash``), then reuse the text stack's banded
+    hamming machinery verbatim — ``dedup.simhash_pairs`` pigeonholes
+    the 64-bit hash into 2-chunk combo bands, expands candidates
+    through the capped grouped expansion, and verifies exact hamming
+    inline. With the default ``bucket_cap=None`` and ``n_chunks >=
+    max_hamming + 2`` recall is exactly 1 (every <=k-hamming pair
+    shares a clean combo band), which is what lets a brute-force
+    all-pairs oracle value-check the output; at corpus scale set a cap
+    and observe the drops exactly as for text simhash. Returns
+    ``(id_a, id_b, hamming)``."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import dedup
+
+    hashes = perceptual_hash(df, decoder=decoder, id_col=id_col).select(
+        F.col(id_col), F.col("phash").alias("simhash")
+    )
+    return dedup.simhash_pairs(
+        hashes, id_col=id_col, max_hamming=max_hamming,
+        n_chunks=n_chunks, bucket_cap=bucket_cap, obs_out=obs_out,
+    )

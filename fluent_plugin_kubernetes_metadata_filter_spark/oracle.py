@@ -1284,6 +1284,51 @@ SELECT media_id, kind, n_bytes, payload_hash,
        {feats}
 FROM base"""
 
+    # perceptual hash: 64-cell grid (np.array_split boundaries, exact
+    # integer basis points), floored integer mean, aHash bit i when
+    # cell i strictly above the mean, packed into a signed int64 (bit
+    # 63 = min-long two's-complement term). Same ASCII guard as
+    # media_features — char chunking must equal byte chunking.
+    _phash_grid = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       list_transform(generate_series(0, 63), j ->
+         CAST(CASE WHEN (n // 64 + CASE WHEN j < n % 64 THEN 1 ELSE 0 END) = 0 THEN 0
+              ELSE list_sum(bs[((n // 64) * j + least(j, n % 64)) + 1 :
+                               ((n // 64) * j + least(j, n % 64))
+                               + (n // 64 + CASE WHEN j < n % 64 THEN 1 ELSE 0 END)])
+                   * 10000 // ((n // 64 + CASE WHEN j < n % 64 THEN 1 ELSE 0 END) * 255)
+              END AS BIGINT)) AS g
+FROM (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS bs,
+         length(text) AS n
+  FROM documents
+  WHERE CASE WHEN octet_length(encode(text)) = length(text) THEN TRUE
+             ELSE error('media_phash oracle requires ASCII text') END
+)"""
+    _phash = f"""
+grid AS ({_phash_grid}),
+ph AS (
+  SELECT media_id, kind,
+         CAST((SELECT SUM(CASE WHEN g[i+1] > CAST(floor(list_sum(g) / 64.0) AS BIGINT)
+                          THEN CASE WHEN i = 63 THEN -9223372036854775808
+                               ELSE (1::BIGINT << i) END
+                          ELSE 0 END)
+               FROM unnest(generate_series(0, 63)) AS t(i)) AS BIGINT) AS phash
+  FROM grid
+)"""
+    q["media_phash"] = f"""
+WITH {_phash}
+SELECT media_id, kind, phash FROM ph"""
+
+    q["media_neardup"] = f"""
+WITH {_phash}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) <= 6"""
+
     # media_frames: kind == 'video' <=> doc_id % 3 == 2; duration
     # (doc_id % 10 + 1) seconds -> one frame per 1000 ms from 0
     q["media_frames"] = """

@@ -1024,6 +1024,47 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash per media item: the deterministic 64-cell grid
+    decoder (8x8-thumbnail stand-in, exact integer basis points) feeds
+    the JVM-side aHash packing — bit i set when cell i is strictly
+    above the floored integer grid mean, bit 63 via the min-long
+    two's-complement term. The oracle recomputes every cell, the mean,
+    and the packed int64 from the same bytes in integer SQL."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.multimodal import (
+        bp_grid_decoder,
+        perceptual_hash,
+    )
+
+    media = _spread(
+        _media_from_documents(spark, sf_dir).select("media_id", "kind", "payload"),
+        "media_id",
+    )
+    return perceptual_hash(media, decoder=bp_grid_decoder)
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs: aHash each payload, band the
+    64-bit hashes with the text stack's 2-chunk-combo machinery
+    (n_chunks=8 >= max_hamming+2, uncapped), verify exact hamming <= 6
+    inline. Recall is exactly 1 by pigeonhole, so the brute-force
+    all-pairs oracle is an equality check, not a bound."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.multimodal import (
+        bp_grid_decoder,
+        media_neardup,
+    )
+
+    media = _spread(
+        _media_from_documents(spark, sf_dir).select("media_id", "kind", "payload"),
+        "media_id",
+    )
+    return media_neardup(
+        media, decoder=bp_grid_decoder, max_hamming=6, n_chunks=8, bucket_cap=None
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction, driver-gated end-to-end: binary
     payload column -> Arrow-batched mapInPandas (ops/multimodal.

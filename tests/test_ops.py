@@ -623,6 +623,39 @@ def test_bp_feature_decoder_exact_known_bytes(spark):
     assert short[:3] == [10000.0] * 3 and short[3:] == [0.0] * 5
 
 
+def test_perceptual_hash_model_parity(spark):
+    """The JVM-side aHash packing equals a sequential numpy model of
+    the same rule (strictly-above floored integer mean, bit 63 via the
+    min-long term) on every synthetic item."""
+    import numpy as np
+
+    media = multimodal.synthetic_media(spark, n=24)
+    got = {r.media_id: r.phash
+           for r in multimodal.perceptual_hash(
+               media, decoder=multimodal.bp_grid_decoder).collect()}
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, payload in rows.items():
+        grid = [int(v) for v in multimodal.bp_grid_decoder(
+            __import__("pandas").Series([payload]))[0]]
+        m = sum(grid) // 64
+        want = 0
+        for i, v in enumerate(grid):
+            if v > m:
+                want += -(1 << 63) if i == 63 else (1 << i)
+        assert got[mid] == want, mid
+    assert len(got) == 24
+
+
+def test_media_neardup_finds_planted_duplicate_payload(spark):
+    """An exact payload copy under a new id is the unique hamming-0
+    pair; unrelated random payloads produce no <=3 pairs."""
+    media = multimodal.synthetic_media(spark, n=30)
+    dup = media.where("media_id = 7").withColumn("media_id", F.lit(9007))
+    got = multimodal.media_neardup(
+        media.union(dup), decoder=multimodal.bp_grid_decoder).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(7, 9007, 0)]
+
+
 def test_multimodal_stub_raises_without_decoder(spark):
     media = multimodal.synthetic_media(spark, n=3)
     with pytest.raises(Exception):
