@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_conv_stats": q.q_per_conv_stats,
         "dedup_exact": q.q_dedup_exact,
         "incremental_dedup": q.q_incremental_dedup,
+        "incremental_dedup_bloom": q.q_incremental_dedup_bloom,
         "sample_k": q.q_sample_k,
         "token_stats": q.q_token_stats,
         "quality": q.q_quality,

@@ -325,6 +325,11 @@ keeper AS (
 SELECT doc_id, fingerprint FROM keeper
 WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)"""
 
+    # the bloom pre-filter is output-transparent (no false negatives;
+    # positives still exactly anti-joined), so its oracle IS the plain
+    # incremental_dedup SQL — passing the value gate proves that
+    q["incremental_dedup_bloom"] = q["incremental_dedup"]
+
     q["token_stats"] = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_actual,

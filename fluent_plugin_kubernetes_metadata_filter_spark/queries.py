@@ -290,6 +290,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, seen).select("doc_id", "fingerprint")
 
 
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-compacted form of ``incremental_dedup``: the history
+    compacts to a 2^14-bit word array built distributed and broadcast
+    back; bloom-cleared batch rows (definitely new — no false
+    negatives) bypass the anti-join, bloom-positive rows get the exact
+    one. The oracle is the SAME NOT-IN SQL as ``incremental_dedup`` —
+    the value gate proves the bloom is output-transparent."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+        build_seen_bloom,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.where(F.col("doc_id") % 4 == 0).select(
+        _content_fingerprint("text").alias("fingerprint")
+    )
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    bloom = build_seen_bloom(seen, n_bits=1 << 14)
+    return incremental_dedup(batch, seen, bloom=bloom).select(
+        "doc_id", "fingerprint"
+    )
+
+
 def q_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform exact-k sample (k=100) by id-hash order —
     TakeOrderedAndProject, no shuffle; md5 variant so the oracle

@@ -95,6 +95,68 @@ def test_incremental_dedup_single_batch_exchange(spark, docs):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_seen_bloom_has_no_false_negatives_and_preserves_output(spark, docs):
+    """Every fingerprint the bloom was built from must probe True (the
+    exactness contract: bloom-cleared rows skip the anti-join), and the
+    bloom-filtered incremental dedup returns EXACTLY the plain path's
+    rows."""
+    seen = docs.where("doc_id % 4 = 0").select(
+        dedup._content_fingerprint("text").alias("fingerprint")
+    )
+    batch = docs.where("doc_id % 4 != 0")
+    bloom = dedup.build_seen_bloom(seen, n_bits=1 << 14)
+    assert seen.where(~bloom.might_contain(F.col("fingerprint"))).count() == 0
+    plain = {r.doc_id for r in dedup.incremental_dedup(batch, seen).collect()}
+    got = {r.doc_id
+           for r in dedup.incremental_dedup(batch, seen, bloom=bloom).collect()}
+    assert got == plain
+
+
+def test_seen_bloom_false_positives_cannot_corrupt_output(spark, docs):
+    """A deliberately saturated 128-bit bloom produces real false
+    positives on unseen fingerprints (assert they exist, so the test
+    means something), yet the final output is still exactly the plain
+    anti-join's — false positives only cost join input."""
+    seen = docs.where("doc_id % 4 = 0").select(
+        dedup._content_fingerprint("text").alias("fingerprint")
+    )
+    batch = docs.where("doc_id % 4 != 0")
+    tiny = dedup.build_seen_bloom(seen, n_bits=128, n_hashes=2)
+    unseen_fp = (
+        batch.withColumn("fingerprint", dedup._content_fingerprint("text"))
+        .join(seen, "fingerprint", "left_anti")
+    )
+    n_fp = unseen_fp.where(tiny.might_contain(F.col("fingerprint"))).count()
+    assert n_fp > 0, "saturated bloom produced no false positives — test is vacuous"
+    plain = {r.doc_id for r in dedup.incremental_dedup(batch, seen).collect()}
+    got = {r.doc_id
+           for r in dedup.incremental_dedup(batch, seen, bloom=tiny).collect()}
+    assert got == plain
+
+
+def test_incremental_dedup_bucketed_history_never_shuffles_seen(spark, docs, tmp_path):
+    """With a bucketed seen store and seen_buckets matching its layout,
+    the plan carries exactly ONE exchange (the batch's own
+    repartition): the keeper window and the anti-join both reuse it,
+    and the history is read pre-partitioned from disk."""
+    from fluent_plugin_kubernetes_metadata_filter_spark import bucketing
+
+    seen_df = docs.where("doc_id % 4 = 0").select(
+        dedup._content_fingerprint("text").alias("fingerprint")
+    )
+    bucketing.write_bucketed(seen_df, "seen_store_t", ["fingerprint"], n_buckets=8)
+    try:
+        seen = spark.table("seen_store_t")
+        batch = docs.where("doc_id % 4 != 0")
+        out = dedup.incremental_dedup(batch, seen, seen_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        plain = {r.doc_id for r in dedup.incremental_dedup(batch, seen_df).collect()}
+        assert {r.doc_id for r in out.collect()} == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_store_t")
+
+
 def test_minhash_finds_near_dups(spark, docs_with_dups):
     pairs = dedup.minhash_dedup(docs_with_dups, threshold=0.5)
     got = {(p.id_a, p.id_b) for p in pairs.collect()}
