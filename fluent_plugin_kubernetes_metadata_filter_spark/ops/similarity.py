@@ -209,8 +209,20 @@ def kmeans_centroids(df: DataFrame, dim: int, k: int = 16, n_iter: int = 2,
     corpus snapshots) use the seed quantizer; the refined variant
     trades that for tighter clusters, the standard k-means bargain.
 
-    Driver-side state is k x dim floats — tiny; the per-iteration work is
-    one shuffle keyed by centroid id (k keys, salted by AQE if skewed).
+    Driver-side state is k x dim floats; the per-iteration work is one
+    shuffle keyed by centroid id (k keys, salted by AQE if skewed) —
+    the sums arrive at the driver already reduced, never raw vectors.
+
+    Growth doctrine, explicitly: the k x dim driver materialization is
+    ~100 MB at the SemDeDup paper's scale (k ~ 11k, dim ~ 1k) and is
+    the binding bound near k ~ 10^5-10^6 (gigabytes). At that scale
+    (a) TRAIN the quantizer on a fixed-size deterministic sample (the
+    k-smallest-md5 seed rule already is one; Lloyd refinement on a
+    hash-sampled slice keeps every stage bounded), and (b) ASSIGN with
+    ``_assign_gemm_sharded``, which never holds more than one
+    shard_size x dim block per broadcast — the full matrix exists only
+    as S independent shards. Nothing requires all k centroids in one
+    buffer anywhere in the pipeline.
     """
     v = df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v"))
     # deterministic seeds: the k smallest md5(id) values
@@ -392,10 +404,59 @@ def _assign_gemm(df: DataFrame, cents: list[list[float]],
     return df.select(id_col, vec_col).mapInPandas(block, schema)
 
 
+def _assign_gemm_sharded(df: DataFrame, cents: list[list[float]],
+                         id_col: str, vec_col: str, grid: int | None,
+                         shard_size: int = 4096,
+                         normalize: bool = False) -> DataFrame:
+    """Block-sharded GEMM assignment — the growth path past the point
+    where one k x dim centroid matrix can sit in a single broadcast /
+    distance buffer (k ~ 10^5-10^6 at dim ~ 10^3 is gigabytes). Each
+    shard of ``shard_size`` centroids runs the plain ``_assign_gemm``
+    map pass with its own small broadcast; the per-item global argmin
+    is one groupBy(id) of the S shard candidates, taking the
+    lexicographic min of (dist, cluster) — which on floored-grid ties
+    picks the lowest global index, the exact first-occurrence contract
+    of the single-GEMM path (parity-pinned by tests).
+
+    Cost relative to single-GEMM: S corpus map passes (each touching
+    only id+vector columns) and ONE id-grain exchange for the argmin
+    reduce — the price of never materializing all k centroids in one
+    place. Per-executor broadcast footprint at any moment is bounded
+    by the shards actually resident, not k."""
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    parts = []
+    for s0 in range(0, len(cents), shard_size):
+        a = _assign_gemm(
+            df, cents[s0:s0 + shard_size], id_col, vec_col, grid,
+            normalize=normalize,
+        )
+        parts.append(a.withColumn("cluster", (F.col("cluster") + F.lit(s0)).cast("int")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    key = F.struct(F.col("dist"), F.col("cluster"))
+    aggs = [F.min(key).alias("_m")]
+    if normalize:
+        # vn is a pure function of the input vector — identical in every
+        # shard — but min_by keeps the pick deterministic anyway
+        aggs.append(F.min_by(F.col("vn"), key).alias("vn"))
+    out = u.groupBy(id_col).agg(*aggs)
+    cols = [
+        F.col(id_col),
+        F.col("_m.cluster").alias("cluster"),
+        F.col("_m.dist").alias("dist"),
+    ]
+    if normalize:
+        cols.append(F.col("vn"))
+    return out.select(*cols)
+
+
 # Below this cluster count the literal-expression assignment stays the
 # default (zero Python, whole-plan JVM); above it the driver-side
 # literal tree and the interpreted O(k*dim)/row argmin dominate and
-# the GEMM path wins.
+# the GEMM path wins. Past broadcastable k, "gemm_sharded" blocks the
+# matrix (see _assign_gemm_sharded).
 _GEMM_AUTO_K = 64
 
 
@@ -404,7 +465,7 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    seed: int = 42, grid: int = 4,
                    bucket_cap: int | None = None,
-                   assign: str = "auto"):
+                   assign: str = "auto", gemm_shard_size: int = 4096):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then inside each cluster drop every item that has
     a LOWER-id neighbor with cosine >= threshold — semantic dedup that
@@ -435,16 +496,20 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
     expression path's driver-built literal tree and interpreted
     O(k*dim)/row argmin become a measured serial bottleneck: the
     pinned 4-vs-16 probe at k=512 scaled at 0.54 on the expression
-    path), or ``"auto"`` (gemm from k >= 64). Both paths share the
-    floored-grid first-min assignment contract and are parity-pinned
-    by tests."""
+    path), or ``"auto"`` (gemm from k >= 64). ``"gemm_sharded"``
+    (blocks of ``gemm_shard_size`` centroids, global argmin via one
+    id-grain reduce) is the growth path past broadcastable k — see
+    ``_assign_gemm_sharded``. All paths share the floored-grid
+    first-min assignment contract and are parity-pinned by tests."""
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
         grouped_pair_expansion,
     )
 
-    if assign not in ("auto", "expr", "gemm"):
+    if assign not in ("auto", "expr", "gemm", "gemm_sharded"):
         raise ValueError(f"unknown assign: {assign!r}")
-    use_gemm = assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K)
+    use_gemm = assign in ("gemm", "gemm_sharded") or (
+        assign == "auto" and n_clusters >= _GEMM_AUTO_K
+    )
     cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
     if use_gemm:
         # one Arrow pass yields assignment AND the normalized vector.
@@ -455,7 +520,13 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
         # token_budget fix addressed. localCheckpoint pins one copy
         # (executor-local, lineage cut — the deliberate trade
         # documented at token_budget).
-        ag = _assign_gemm(df, cents, id_col, vec_col, grid, normalize=True)
+        if assign == "gemm_sharded":
+            ag = _assign_gemm_sharded(
+                df, cents, id_col, vec_col, grid,
+                shard_size=gemm_shard_size, normalize=True,
+            )
+        else:
+            ag = _assign_gemm(df, cents, id_col, vec_col, grid, normalize=True)
         ag = ag.localCheckpoint(eager=False)
         asg = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"))
         nrm = ag.select(F.col(id_col).alias("_sid"), F.col("cluster").alias("c"), "vn")
@@ -501,7 +572,8 @@ def cluster_sample(df: DataFrame, dim: int, n_clusters: int = 16,
                    mode: str = "prototype",
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    seed: int = 42, grid: int = 4,
-                   assign: str = "auto") -> DataFrame:
+                   assign: str = "auto",
+                   gemm_shard_size: int = 4096) -> DataFrame:
     """Cluster-balanced coreset selection over the embedding space —
     the SSL-prototypes pruning rule (Sorscher et al. 2022, "Beyond
     neural scaling laws", arXiv:2206.14486): k-means the corpus, rank
@@ -530,13 +602,18 @@ def cluster_sample(df: DataFrame, dim: int, n_clusters: int = 16,
 
     ``assign`` follows `semantic_dedup`: ``"expr"`` literal-matrix at
     small k, ``"gemm"`` broadcast-numpy at large k, ``"auto"`` switches
-    at k >= 64 — same floored-grid first-min contract either way."""
+    at k >= 64, ``"gemm_sharded"`` blocks past broadcastable k — same
+    floored-grid first-min contract every way."""
     if mode not in ("prototype", "outlier"):
         raise ValueError(f"unknown mode: {mode!r}")
-    if assign not in ("auto", "expr", "gemm"):
+    if assign not in ("auto", "expr", "gemm", "gemm_sharded"):
         raise ValueError(f"unknown assign: {assign!r}")
     cents = kmeans_centroids(df, dim, n_clusters, n_iter, id_col, vec_col, seed)
-    if assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K):
+    if assign == "gemm_sharded":
+        asg = _assign_gemm_sharded(
+            df, cents, id_col, vec_col, grid, shard_size=gemm_shard_size
+        ).select(id_col, "dist", "cluster")
+    elif assign == "gemm" or (assign == "auto" and n_clusters >= _GEMM_AUTO_K):
         asg = _assign_gemm(df, cents, id_col, vec_col, grid).select(
             id_col, "dist", "cluster"
         )

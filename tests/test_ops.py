@@ -1465,6 +1465,28 @@ def test_assign_gemm_carries_string_id_type(spark):
     assert got["doc-0"] == 0 and got["doc-11"] == 1
 
 
+def test_assign_gemm_sharded_parity(spark, emb):
+    """The block-sharded assignment (shard_size forcing multiple
+    shards, including a ragged last shard) must agree item-for-item
+    with the single-broadcast GEMM — cluster, dist, rank, keep — in
+    both consumers."""
+    g = similarity.cluster_sample(emb, dim=64, n_clusters=8, per_cluster=2,
+                                  n_iter=0, assign="gemm")
+    s = similarity.cluster_sample(emb, dim=64, n_clusters=8, per_cluster=2,
+                                  n_iter=0, assign="gemm_sharded",
+                                  gemm_shard_size=3)
+    gr = {r.vec_id: (r.cluster, r.dist, r.rank, r.keep) for r in g.collect()}
+    sr = {r.vec_id: (r.cluster, r.dist, r.rank, r.keep) for r in s.collect()}
+    assert gr == sr
+    mg, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
+                                      n_iter=0, assign="gemm")
+    ms, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
+                                      n_iter=0, assign="gemm_sharded",
+                                      gemm_shard_size=3)
+    assert ({r.vec_id: (r.cluster, r.keep) for r in mg.collect()}
+            == {r.vec_id: (r.cluster, r.keep) for r in ms.collect()})
+
+
 def test_semantic_dedup_gemm_parity(spark, emb):
     me, _ = similarity.semantic_dedup(emb, dim=64, n_clusters=8, threshold=0.2,
                                       n_iter=0, assign="expr")
