@@ -61,11 +61,15 @@ def query_list(spark, sf_dir):
         ("per_conv_stats", lambda: noop(q.q_per_conv_stats(spark, sf_dir))),
         ("dedup_exact", lambda: noop(q.q_dedup_exact(spark, sf_dir))),
         ("incremental_dedup", lambda: noop(q.q_incremental_dedup(spark, sf_dir))),
+        ("incremental_dedup_bloom",
+         lambda: noop(q.q_incremental_dedup_bloom(spark, sf_dir))),
+        ("substring_dedup", lambda: noop(q.q_substring_dedup(spark, sf_dir))),
         ("sample_k", lambda: q.q_sample_k(spark, sf_dir).collect()),
         ("ngram_jaccard", lambda: q.q_ngram_jaccard(spark, sf_dir).collect()),
         ("dedup_keepers", lambda: noop(q.q_dedup_keepers(spark, sf_dir))),
         ("dedup_pipeline", lambda: noop(q.q_dedup_pipeline(spark, sf_dir))),
         ("media_features", lambda: noop(q.q_media_features(spark, sf_dir))),
+        ("media_neardup", lambda: q.q_media_neardup(spark, sf_dir).collect()),
         ("minhash_pairs", lambda: q.q_minhash_pairs(spark, sf_dir).collect()),
         ("simhash", lambda: noop(q.q_simhash(spark, sf_dir))),
         ("simhash_pairs", lambda: q.q_simhash_pairs(spark, sf_dir).collect()),
