@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": q.q_media_phash,
         "media_neardup": q.q_media_neardup,
         "incremental_dedup_bloom": q.q_incremental_dedup_bloom,
+        "lm_score2": q.q_lm_score2,
         # -- (3) code paths touched in round 6
         "full_curation": q.q_full_curation,
         "semantic_dedup": q.q_semantic_dedup,

@@ -554,6 +554,98 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def lm_score2(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              top_k: int = 50_000, lam: float = 0.8, alpha: float = 0.5,
+              grid: int = 4) -> DataFrame:
+    """Interpolated BIGRAM-LM quality score — one CCNet fidelity step
+    up from `lm_score` (Wenzek et al. 2020 use a trained KenLM; the
+    corpus-estimated interpolated bigram is the shuffle-cheap
+    self-supervised form): score each doc by the mean NLL of its
+    bigram events under ``p(cur|prev) = lam * p_bigram(cur|prev) +
+    (1-lam) * p_unigram(cur)``. Word ORDER now matters — a doc that is
+    a shuffled bag of common words (which `lm_score` cannot tell from
+    natural prose: same token multiset, same score) has rare bigrams
+    and scores HIGH, while natural text rides the frequent-transition
+    mass. ``tests/test_ops.py::test_lm_score2_order_sensitivity`` pins
+    exactly that separation on planted docs.
+
+    Vocabulary cuts: top ``top_k`` unigrams and top ``top_k`` bigrams
+    (count desc, token asc ties). The bigram conditional denominator is
+    the FULL unigram count of ``prev`` (not the top-k-cut one), so
+    p_bigram is a true conditional; unseen/cut bigrams contribute 0 and
+    the unigram floor (OOV -> ``alpha/total``) keeps the log finite.
+    ``1-lam`` is computed as the IEEE double ``1.0 - lam`` on BOTH
+    engines (the oracle writes ``(1 - 0.8)``, not ``0.2`` — the two
+    literals differ by one ulp) and scores floor to the 10^-grid.
+
+    Scale shape: THREE corpus passes — unigram vocab build, bigram
+    vocab build, scoring probe — the `dsir_weights` doctrine. Both
+    vocab tables are top-k bounded and BROADCAST against the exploded
+    pair events (token/bigram frequency is maximally skewed: every doc
+    joins on "the" / "of the" — a shuffle join would hotspot, exactly
+    the `lm_score` rationale). The unigram vocab is localCheckpoint'd
+    (vocab-grain) before its three consumers (the ``total`` collect,
+    the top-k cut, and the bigram-denominator attach) so the corpus
+    explode behind it runs once. Attaching the denominator joins the
+    top-k bigram cut (broadcast, ~top_k rows) against the checkpointed
+    vocab — never the corpus. Docs with < 2 tokens have no bigram
+    events and are ABSENT from the output (document the contract; the
+    oracle applies the same filter).
+    Returns ``(id, lm_nll2, n_events)`` for every doc with >=2 tokens."""
+    tk = F.col("_tk")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    uni = base.select(F.col(id_col), F.explode(tk).alias("cur"))
+    pairs = base.where(F.size(tk) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size(tk)),
+                lambda i: F.struct(
+                    F.element_at(tk, i - 1).alias("prev"),
+                    F.element_at(tk, i).alias("cur"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, "e.prev", "e.cur")
+
+    uvoc = uni.groupBy("cur").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+        eager=False
+    )
+    total = float(uvoc.agg(F.sum("cnt")).collect()[0][0])
+    utop = uvoc.orderBy(F.desc("cnt"), F.asc("cur")).limit(top_k)
+    btop = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .orderBy(F.desc("bcnt"), F.asc("prev"), F.asc("cur"))
+        .limit(top_k)
+    )
+    # true conditional: divide by prev's FULL unigram count (top-k rows
+    # join the checkpointed vocab-grain table, corpus untouched)
+    btbl = (
+        uvoc.select(F.col("cur").alias("prev"), F.col("cnt").alias("pcnt"))
+        .join(F.broadcast(btop), "prev")
+        .select(
+            "prev", "cur",
+            (F.col("bcnt").cast("double") / F.col("pcnt")).alias("pbig"),
+        )
+    )
+    m = float(10**grid)
+    puni = F.coalesce(F.col("cnt").cast("double"), F.lit(float(alpha))) / F.lit(total)
+    phat = (
+        F.lit(float(lam)) * F.coalesce(F.col("pbig"), F.lit(0.0))
+        + F.lit(1.0 - lam) * puni
+    )
+    return (
+        pairs.join(F.broadcast(btbl), ["prev", "cur"], "left")
+        .join(F.broadcast(utop), "cur", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.floor(F.avg(-F.log(phat)) * m) / m).alias("lm_nll2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
 def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 top_terms: int = 5, grid: int = 4) -> DataFrame:
     """Per-document keyword extraction by TF-IDF: the ``top_terms``

@@ -1025,6 +1025,46 @@ SELECT doc_id, floor(avg(nll) * 10000) / 10000 AS lm_nll,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM s GROUP BY doc_id"""
 
+    # interpolated bigram LM: both vocabularies recomputed from the
+    # data with the (cnt desc, token asc) tiebreaks; the bigram
+    # conditional divides by prev's FULL unigram count; (1 - 0.8) is
+    # written as the subtraction (NOT the literal 0.2 — one ulp apart
+    # from the engine's 1.0 - lam); docs with <2 tokens are absent
+    q["lm_score2"] = """
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(a) AS cur FROM tk),
+v AS (SELECT cur, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY cur),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v),
+utop AS (SELECT cur, cnt FROM v ORDER BY cnt DESC, cur LIMIT 32),
+pairs AS (
+  SELECT doc_id, a[i-1] AS prev, a[i] AS cur
+  FROM tk, unnest(generate_series(2, len(a))) AS g(i)
+  WHERE len(a) >= 2
+),
+btop AS (
+  SELECT prev, cur, count(*) AS bcnt FROM pairs GROUP BY prev, cur
+  ORDER BY count(*) DESC, prev, cur LIMIT 32
+),
+btbl AS (
+  SELECT b.prev, b.cur, CAST(b.bcnt AS DOUBLE) / v.cnt AS pbig
+  FROM btop b JOIN v ON v.cur = b.prev
+),
+s AS (
+  SELECT p.doc_id,
+         -ln(0.8 * COALESCE(btbl.pbig, 0.0)
+             + (1 - 0.8) * (COALESCE(CAST(utop.cnt AS DOUBLE), 0.5)
+                            / (SELECT t FROM tot))) AS nll
+  FROM pairs p
+  LEFT JOIN btbl ON p.prev = btbl.prev AND p.cur = btbl.cur
+  LEFT JOIN utop ON p.cur = utop.cur
+)
+SELECT doc_id, floor(avg(nll) * 10000) / 10000 AS lm_nll2,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY doc_id"""
+
     # C4-style line cleaning over the same 8-word pseudo-line chunking
     # with the md5-coin terminal period; line gate = >=5 words AND
     # terminal punctuation, page gate = >=3 surviving lines

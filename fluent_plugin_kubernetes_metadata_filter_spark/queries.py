@@ -599,6 +599,18 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, top_k=32)
 
 
+def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring: top-32 unigram AND
+    bigram vocabularies (count desc, token asc ties), true conditional
+    p(cur|prev) from the full unigram denominator, lam=0.8
+    interpolation with the unigram OOV floor, per-doc mean NLL on the
+    1e-4 grid. Docs with <2 tokens are absent by contract."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import lm_score2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_score2(docs, top_k=32)
+
+
 def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning: docs re-chunked into 8-word pseudo-lines
     with a terminal '.' on lines whose md5 first hex digit < '8' (a

@@ -1274,6 +1274,49 @@ def test_lm_score_ranks_gibberish_above_common_text(spark):
     assert len({rows[i].lm_nll for i in range(10)}) == 1
 
 
+def test_lm_score2_order_sensitivity(spark):
+    """The VERDICT-r5 demonstration: a shuffled bag of common words is
+    INVISIBLE to the unigram score (same token multiset -> identical
+    lm_nll) but the bigram interpolation separates it — natural
+    repeated-transition text scores strictly lower than the same
+    tokens in scrambled order."""
+    natural = "the cat sat on the mat"
+    # same 6 tokens, order scrambled so no natural bigram survives
+    scrambled = "mat the on cat the sat"
+    docs = spark.createDataFrame(
+        [(i, natural) for i in range(10)] + [(99, scrambled)],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.lm_nll for r in textops.lm_score(docs, top_k=8).collect()}
+    assert uni[0] == uni[99]  # unigram LM cannot tell them apart
+    bi = {r.doc_id: r for r in textops.lm_score2(docs, top_k=8).collect()}
+    assert bi[0].lm_nll2 < bi[99].lm_nll2
+    assert bi[0].n_events == 5 and bi[99].n_events == 5
+
+
+def test_lm_score2_short_doc_contract(spark):
+    """Docs with <2 tokens have no bigram events and are absent."""
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in textops.lm_score2(docs, top_k=8).collect()}
+    assert out == {2}
+
+
+def test_lm_score2_broadcasts_both_vocabs(spark, docs):
+    """Both vocabulary cuts join BROADCAST against the pair events
+    (token/bigram frequency is maximally skewed), and the corpus
+    explode behind the checkpointed unigram vocab never re-runs in
+    the final plan (RDD scans on the build sides)."""
+    plan = (
+        textops.lm_score2(docs, top_k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan
+
+
 def test_lm_score_broadcasts_vocab(spark, docs):
     plan = (
         textops.lm_score(docs, top_k=64)
