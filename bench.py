@@ -92,6 +92,8 @@ def query_list(spark, sf_dir):
         ("domain_mix", lambda: noop(q.q_domain_mix(spark, sf_dir))),
         ("clean_lines", lambda: noop(q.q_clean_lines(spark, sf_dir))),
         ("lm_score", lambda: noop(q.q_lm_score(spark, sf_dir))),
+        ("lm_score2", lambda: noop(q.q_lm_score2(spark, sf_dir))),
+        ("media_phash", lambda: noop(q.q_media_phash(spark, sf_dir))),
         ("cluster_sample", lambda: noop(q.q_cluster_sample(spark, sf_dir))),
         ("tfidf_terms", lambda: noop(q.q_tfidf_terms(spark, sf_dir))),
         ("ngram_stats", lambda: q.q_ngram_stats(spark, sf_dir).collect()),
