@@ -1,0 +1,102 @@
+"""One-off evidence run: the full streaming composition at sf0.1 —
+dedup-on-ingest -> per-batch dim-refreshed enrichment -> REAL routed
+fan-out write (streaming.routed_sink) — with per-sink count parity of
+the WRITTEN output checked against the batch path (fingerprint dedup +
+enrich) over the same rows.
+
+The pytest (`test_dedup_enrich_stream_routed_fanout`) pins the same
+parity on 120 rows; this script is the at-scale rehearsal the round
+record cites in BASELINE.md: ~590k turns through micro-batched
+ingestion into the same one-directory-per-sink layout the batch job
+writes, byte-compatible for downstream per-sink consumers.
+
+Usage: python scripts/streaming_fanout_sf01.py [sf_dir]
+Prints one JSON line with wall times, sink count, row totals, parity.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from fluent_plugin_kubernetes_metadata_filter_spark import streaming  # noqa: E402
+from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich  # noqa: E402
+from fluent_plugin_kubernetes_metadata_filter_spark.io import aux_dir  # noqa: E402
+from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (  # noqa: E402
+    _content_fingerprint,
+)
+from fluent_plugin_kubernetes_metadata_filter_spark.session import build_session  # noqa: E402
+
+
+def main() -> dict:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app="stream-fanout-sf01", master="local[16]",
+                          shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = aux_dir(sf)
+    out = tempfile.mkdtemp(prefix="stream-routed-")
+    ckpt = tempfile.mkdtemp(prefix="stream-ckpt-")
+    try:
+        stream = streaming.read_transcript_stream(spark, base)
+        loader = streaming.default_dims_loader(spark, sf)
+        t0 = time.time()
+        q = streaming.dedup_enrich_stream(
+            stream, loader, streaming.routed_sink(out), checkpoint_dir=ckpt
+        )
+        q.awaitTermination(1800)
+        stream_wall = round(time.time() - t0, 1)
+
+        written = {
+            (r.sink or "__passthrough__"): r.n
+            for r in spark.read.parquet(out)
+            .groupBy(F.col("namespace_name").cast("string").alias("sink"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        t1 = time.time()
+        pods, ns = loader()
+        src = spark.read.parquet(f"{base}/transcripts.parquet")
+        batch_in = (
+            src.withColumn("_fp", _content_fingerprint("text"))
+            .dropDuplicates(["_fp"])
+            .drop("_fp")
+        )
+        batch = {
+            (r.sink or "__passthrough__"): r.n
+            for r in enrich(batch_in, pods, ns)
+            .groupBy(F.col("namespace_name").alias("sink"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        batch_wall = round(time.time() - t1, 1)
+        result = {
+            "sf": sf,
+            "input_rows": src.count(),
+            "written_rows": sum(written.values()),
+            "n_sinks": len(written),
+            "stream_wall_s": stream_wall,
+            "batch_wall_s": batch_wall,
+            "parity": written == batch,
+            "mismatches": {
+                k: (written.get(k), batch.get(k))
+                for k in set(written) | set(batch)
+                if written.get(k) != batch.get(k)
+            },
+        }
+        print(json.dumps(result))
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
