@@ -297,6 +297,30 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
     )
 
 
+def routed_sink(out_dir: str,
+                route_column: str = "namespace_name") -> Callable[[DataFrame, int], None]:
+    """Micro-batch ROUTED fan-out writer: every batch appends into the
+    same one-directory-per-sink layout ``io.write_routed`` produces in
+    batch mode, so the streamed output directory is interchangeable
+    with the batch job's (same partition scheme, same null-route
+    default partition) and downstream per-sink consumers cannot tell
+    which path wrote it. Per-sink count parity of the WRITTEN output
+    against the batch pipeline is pinned by
+    ``tests/test_streaming.py::test_dedup_enrich_stream_routed_fanout``.
+
+    Delivery contract: with ``availableNow`` + a checkpoint, batch ids
+    are stable and replay only happens on a crash between the write and
+    the checkpoint commit — the standard foreachBatch at-least-once
+    caveat; exactly-once needs a transactional table format (the O24
+    Iceberg contract, runtime-blocked in this sandbox)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.io import write_routed
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_routed(batch_df, out_dir, route_column, mode="append")
+
+    return sink
+
+
 def dedup_enrich_stream(stream_df: DataFrame,
                         dims_loader: Callable[[], tuple[DataFrame, DataFrame]],
                         sink: Callable[[DataFrame, int], None],

@@ -43,8 +43,18 @@ def main() -> dict:
     base = aux_dir(sf)
     out = tempfile.mkdtemp(prefix="stream-routed-")
     ckpt = tempfile.mkdtemp(prefix="stream-ckpt-")
+    staged = tempfile.mkdtemp(prefix="stream-in-")
     try:
-        stream = streaming.read_transcript_stream(spark, base)
+        # stage the single-file transcripts table as 8 files so the file
+        # source genuinely micro-batches (maxFilesPerTrigger=2 -> 4
+        # batches), exercising cross-batch dedup state and per-batch dim
+        # refresh instead of one availableNow mega-batch
+        spark.read.parquet(f"{base}/transcripts.parquet").repartition(8) \
+            .write.parquet(f"{staged}/transcripts.parquet")
+        stream = streaming.read_transcript_stream(
+            spark, f"{staged}/transcripts.parquet", max_files_per_trigger=2,
+            glob="*.parquet",
+        )
         loader = streaming.default_dims_loader(spark, sf)
         t0 = time.time()
         q = streaming.dedup_enrich_stream(
@@ -95,6 +105,7 @@ def main() -> dict:
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
         spark.stop()
 
 

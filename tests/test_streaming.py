@@ -327,3 +327,70 @@ def test_dedup_enrich_stream_matches_batch_route(spark, tmp_path):
     }
     assert streamed == batch_counts
     assert sum(streamed.values()) == 120  # the 30 cross-batch copies dropped
+
+
+def test_dedup_enrich_stream_routed_fanout(spark, tmp_path):
+    """VERDICT r5 polish (a): the full streaming composition ends in the
+    REAL routed fan-out write — dedup-on-ingest -> enrich -> one
+    directory per sink via streaming.routed_sink — and the per-sink
+    counts of the WRITTEN parquet equal the batch path (fingerprint
+    dedup + enrich) over the same rows. The earlier parity test stops
+    at in-memory counts; this one reads the fan-out directory back, so
+    partition layout (incl. the null-route default partition) is under
+    test too."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.enrich import enrich
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import (
+        _content_fingerprint,
+    )
+
+    src = spark.read.parquet(f"{aux_dir(SF)}/transcripts.parquet")
+    uniq = (
+        src.dropDuplicates(["text"])
+        .orderBy("conv_id", "turn_idx")
+        .limit(120)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-06-01 12:00:00")))
+    )
+    rows = uniq.collect()
+    b1 = spark.createDataFrame(rows[:100], uniq.schema)
+    dup = spark.createDataFrame(rows[:30], uniq.schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    b2 = dup.unionByName(spark.createDataFrame(rows[100:120], uniq.schema))
+    d = str(tmp_path / "in")
+    b1.coalesce(1).write.parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(uniq.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    loader = streaming.default_dims_loader(spark, SF)
+    out = str(tmp_path / "routed")
+    q = streaming.dedup_enrich_stream(
+        stream, loader, streaming.routed_sink(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    written = {
+        (r.sink or "__passthrough__"): r.n
+        for r in spark.read.parquet(out)
+        .groupBy(F.col("namespace_name").cast("string").alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pods, ns = loader()
+    batch_in = (
+        spark.read.parquet(d)
+        .withColumn("_fp", _content_fingerprint("text"))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+    batch_counts = {
+        (r.sink or "__passthrough__"): r.n
+        for r in enrich(batch_in, pods, ns)
+        .groupBy(F.col("namespace_name").alias("sink"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert written == batch_counts
+    assert sum(written.values()) == 120
