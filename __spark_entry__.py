@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_neardup": q.q_media_neardup,
         "incremental_dedup_bloom": q.q_incremental_dedup_bloom,
         "lm_score2": q.q_lm_score2,
+        "substring_keep_first": q.q_substring_keep_first,
+        "perplexity_buckets": q.q_perplexity_buckets,
         # -- (3) code paths touched in round 6
         "full_curation": q.q_full_curation,
         "semantic_dedup": q.q_semantic_dedup,

@@ -1027,7 +1027,8 @@ def paragraph_scrub(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
 
 
 def substring_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
-                    id_col: str = "doc_id", min_count: int = 2) -> DataFrame:
+                    id_col: str = "doc_id", min_count: int = 2,
+                    policy: str = "all") -> DataFrame:
     """Exact substring deduplication (Lee et al. 2021, arXiv:2107.06499
     ExactSubstr): excise every token span of length >= ``k`` whose
     exact content occurs at least ``min_count`` times in the corpus —
@@ -1035,12 +1036,26 @@ def substring_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     miss when a long verbatim quote sits inside otherwise-distinct
     documents or straddles paragraph breaks.
 
+    ``policy``: with ``"all"`` (default) EVERY occurrence of a
+    duplicated window is removed — deterministic, no keeper election.
+    ``"keep_first"`` is the paper's all-but-one form at window grain:
+    the occurrence with the lexicographically smallest ``(doc_id,
+    pos)`` per duplicated fingerprint does not count as duplicate
+    evidence, so one copy of the quote survives. Keeper election is ONE
+    extra ``min(struct(id, pos))`` in the SAME frequency aggregation —
+    map-side combinable, never a per-fingerprint window function (a hot
+    boilerplate fingerprint would pin all its occurrences in one
+    unsplittable task). Window-grain caveat, stated precisely: the kept
+    window's TOKENS can still be excised when a neighboring duplicated
+    window overlaps them (islands merge spans per doc); what the policy
+    guarantees is that a duplicated run whose every window is kept-first
+    in the same doc survives verbatim — true for the first occurrence
+    of any cross-doc duplicated run when within-doc repeats are absent.
+
     Mechanics: every doc emits its sliding k-token window fingerprints
     with their start positions; a window is DUPLICATED when its
     fingerprint occurs >= ``min_count`` times corpus-wide (within-doc
-    repeats count — a verbatim self-quote is excised too, so unlike the
-    paper's all-but-one policy EVERY occurrence of a duplicated span is
-    removed; deterministic, no keeper election). Per doc, duplicated
+    repeats count — a verbatim self-quote is excised too). Per doc, duplicated
     windows are merged into maximal spans (gaps-and-islands over start
     positions: a window starting at or before the running max end of
     its predecessors extends the current island), and the doc is
@@ -1108,12 +1123,25 @@ def substring_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     wins = hd.select(
         F.col(id_col), F.posexplode(win_hashes).alias("pos", "_wfp")
     )
+    if policy not in ("all", "keep_first"):
+        raise ValueError(f"unknown substring_dedup policy: {policy!r}")
+    aggs = [F.count(F.lit(1)).alias("_wc")]
+    if policy == "keep_first":
+        aggs.append(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+            .alias("_first")
+        )
     freq = (
         wins.groupBy("_wfp")
-        .agg(F.count(F.lit(1)).alias("_wc"))
+        .agg(*aggs)
         .where(F.col("_wc") >= min_count)
     )
-    dup = wins.join(freq, "_wfp").select(id_col, "pos")
+    dup = wins.join(freq, "_wfp")
+    if policy == "keep_first":
+        dup = dup.where(
+            ~((F.col(id_col) == F.col("_first.i")) & (F.col("pos") == F.col("_first.p")))
+        )
+    dup = dup.select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)

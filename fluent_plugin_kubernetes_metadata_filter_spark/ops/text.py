@@ -646,6 +646,59 @@ def lm_score2(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", top_k: int = 50_000,
+                       lam: float = 0.8, alpha: float = 0.5, grid: int = 4,
+                       sample_n: int = 999, seed: int = 17,
+                       hash_fn: str = "md5") -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020):
+    bucket every doc by its LM score against the corpus tertiles —
+    downstream mixes keep head+middle, or sample tail at a reduced
+    rate. Composes `lm_score2` with a DETERMINISTIC sample-based
+    threshold: exact corpus-wide percentiles would funnel every score
+    into one reducer (a single-group exact percentile is a global
+    sort), and approx_percentile is not bit-stable across
+    partitionings — instead the tertiles come from the `sample_k`
+    primitive (the ``sample_n`` id-hash-smallest docs, a pure function
+    of ids and seed), sorted driver-side (O(sample_n)), and applied as
+    two literals. Scores are grid-floored, so the threshold compare is
+    exact on both engines and the bucket assignment is a property of
+    the data — identical on reruns, cluster sizes, and in the SQL
+    oracle (which re-derives the same sample by the same md5 hash
+    order and indexes the same ceil(n/3) order statistics).
+
+    The scored frame is localCheckpoint'd before the sample collect —
+    it feeds two consumers (threshold sample + final bucket pass), and
+    without materialization the whole bigram-LM lineage would execute
+    twice (the token_budget double-execution pattern).
+    Returns ``(id, lm_nll2, bucket)`` for every doc with >=2 tokens."""
+    import math
+
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unit_hash
+
+    scored = lm_score2(df, text_col, id_col, top_k, lam, alpha, grid)
+    scored = scored.localCheckpoint(eager=False)
+    samp = (
+        scored.withColumn("_u", unit_hash(id_col, seed, hash_fn))
+        .orderBy(F.asc("_u"), F.asc(id_col))
+        .limit(sample_n)
+    )
+    vals = sorted(r.lm_nll2 for r in samp.collect())
+    if not vals:
+        raise ValueError("perplexity_buckets: no scorable docs (all <2 tokens)")
+    n = len(vals)
+    t1 = vals[math.ceil(n / 3) - 1]
+    t2 = vals[math.ceil(2 * n / 3) - 1]
+    return scored.select(
+        id_col,
+        "lm_nll2",
+        F.when(F.col("lm_nll2") <= F.lit(t1), F.lit("head"))
+        .when(F.col("lm_nll2") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def tfidf_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 top_terms: int = 5, grid: int = 4) -> DataFrame:
     """Per-document keyword extraction by TF-IDF: the ``top_terms``

@@ -873,7 +873,10 @@ GROUP BY 1"""
     # maximal spans (gaps-and-islands), docs rebuilt from tokens outside
     # the spans — the oracle counts raw window STRINGS where the engine
     # hashes the token tuples (same classes: tokens are space-free)
-    q["substring_dedup"] = """
+    # shared between the "all" policy and "keep_first" (the paper's
+    # all-but-one form): only the dup CTE differs — keep_first excludes
+    # the (doc_id, pos)-smallest occurrence per duplicated window
+    _substr_tmpl = """
 WITH tks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
 ),
@@ -881,8 +884,7 @@ wins AS (
   SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS win
   FROM tks, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
 ),
-freq AS (SELECT win FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
-dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (win)),
+DUP_CTE
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
@@ -921,6 +923,18 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN kept_agg ka USING (doc_id)
 LEFT JOIN nsp USING (doc_id)"""
+    q["substring_dedup"] = _substr_tmpl.replace("DUP_CTE", """\
+freq AS (SELECT win FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+dup AS (SELECT doc_id, pos FROM wins JOIN freq USING (win)),""")
+    q["substring_keep_first"] = _substr_tmpl.replace("DUP_CTE", """\
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+           COUNT(*) OVER (PARTITION BY win) AS wc
+    FROM wins)
+  WHERE wc >= 2 AND rn > 1
+),""")
 
     # Gopher-style repetition: most-frequent-n-gram fraction per doc
     # for n=1,2,3; docs shorter than n tokens score 0.0 for that n
@@ -1030,7 +1044,7 @@ FROM s GROUP BY doc_id"""
     # conditional divides by prev's FULL unigram count; (1 - 0.8) is
     # written as the subtraction (NOT the literal 0.2 — one ulp apart
     # from the engine's 1.0 - lam); docs with <2 tokens are absent
-    q["lm_score2"] = """
+    _lm2 = """
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
   FROM documents
@@ -1064,6 +1078,28 @@ s AS (
 SELECT doc_id, floor(avg(nll) * 10000) / 10000 AS lm_nll2,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY doc_id"""
+    q["lm_score2"] = _lm2
+
+    # CCNet head/middle/tail: tertiles from the SAME deterministic
+    # md5-hash-order sample the engine uses (sample_n smallest hashes),
+    # indexed at the same ceil(n/3) order statistics; scores are
+    # grid-floored so the threshold compares are exact
+    q["perplexity_buckets"] = f"""
+WITH s2 AS ({_lm2}),
+samp AS (
+  SELECT lm_nll2
+  FROM (SELECT doc_id, lm_nll2, {_u_sql(17)} AS u FROM s2)
+  ORDER BY u, doc_id LIMIT 999
+),
+arr AS (SELECT list_sort(list(lm_nll2)) AS v FROM samp),
+th AS (SELECT v[CAST(ceil(len(v) / 3.0) AS BIGINT)] AS t1,
+              v[CAST(ceil(2 * len(v) / 3.0) AS BIGINT)] AS t2
+       FROM arr)
+SELECT doc_id, lm_nll2,
+       CASE WHEN lm_nll2 <= (SELECT t1 FROM th) THEN 'head'
+            WHEN lm_nll2 <= (SELECT t2 FROM th) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s2"""
 
     # C4-style line cleaning over the same 8-word pseudo-line chunking
     # with the md5-coin terminal period; line gate = >=5 words AND

@@ -588,6 +588,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(docs, k=8)
 
 
+def q_substring_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr in the paper's all-but-one form: the (doc_id, pos)-
+    smallest occurrence of each duplicated 8-token window is not
+    duplicate evidence, so one copy of every duplicated run survives.
+    The oracle recomputes the keeper exclusion from the raw window
+    strings with a row_number over (doc_id, pos)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup(docs, k=8, policy="keep_first")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring: vocabulary truncated to the top 32
     tokens (cnt desc, token asc tiebreak — deterministic on both
@@ -609,6 +621,19 @@ def q_lm_score2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lm_score2(docs, top_k=32)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail buckets over the bigram-LM score:
+    tertile thresholds from the deterministic 999-doc md5-hash-order
+    sample (a pure function of ids and seed), applied as literals —
+    the oracle re-derives the identical sample and order statistics."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import (
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs, top_k=32, sample_n=999, seed=17, hash_fn="md5")
 
 
 def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:

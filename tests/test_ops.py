@@ -1303,6 +1303,30 @@ def test_lm_score2_short_doc_contract(spark):
     assert out == {2}
 
 
+def test_perplexity_buckets_head_and_tail(spark):
+    """Natural repeated-transition docs land in head (score == the
+    sample's lower tertile value), scrambled-order docs in tail; the
+    assignment is a pure function of (ids, seed) — rerun-identical."""
+    natural = [(i, "the cat sat on the mat") for i in range(10)]
+    # RARE single-permutation scrambles: same token multiset, bigrams
+    # seen at most twice corpus-wide (a repeated scramble family would
+    # itself become the majority dialect and score LOW)
+    scrambled = [(100, "mat the on cat the sat"), (101, "on mat the sat cat the")]
+    docs = spark.createDataFrame(natural + scrambled, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.perplexity_buckets(docs, top_k=8, sample_n=999).collect()
+    }
+    assert len(out) == 12
+    assert all(out[i].bucket == "head" for i in range(10))
+    assert out[100].bucket == "tail" and out[101].bucket == "tail"
+    rerun = {
+        r.doc_id: (r.lm_nll2, r.bucket)
+        for r in textops.perplexity_buckets(docs, top_k=8, sample_n=999).collect()
+    }
+    assert rerun == {i: (r.lm_nll2, r.bucket) for i, r in out.items()}
+
+
 def test_lm_score2_broadcasts_both_vocabs(spark, docs):
     """Both vocabulary cuts join BROADCAST against the pair events
     (token/bigram frequency is maximally skewed), and the corpus
@@ -1640,6 +1664,37 @@ def test_substring_dedup_excises_planted_spans(spark):
     assert got[5].clean_text == "" and got[5].n_spans == 1
     assert got[5].n_dup_tokens == got[5].n_tokens == 16
     assert got[6].clean_text == ""
+
+
+def test_substring_dedup_keep_first_policy(spark):
+    """The paper's all-but-one form: the (doc_id, pos)-smallest
+    occurrence of a duplicated window is not duplicate evidence, so
+    the first carrier survives verbatim while later copies excise;
+    within-doc repeats keep exactly the first window's fresh token."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta UNIQUE1 one two"),
+        (2, "prefix alpha beta gamma delta epsilon zeta eta theta SUFFIX"),
+        (5, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.substring_dedup(df, k=8, policy="keep_first").collect()
+    }
+    # doc 1 holds the smallest (doc_id, pos) occurrence -> fully intact
+    assert got[1].clean_text == rows[0][1].lower()
+    assert got[1].n_dup_tokens == 0 and got[1].n_spans == 0
+    # doc 2's copy is excised as usual
+    assert got[2].clean_text == "prefix suffix"
+    assert (got[2].n_spans, got[2].n_dup_tokens) == (1, 8)
+    # within-doc repetition: the pos-0 window is the keeper, so the
+    # merged span starts at pos 1 and the first token survives
+    assert got[5].clean_text == "rep"
+    assert got[5].n_dup_tokens == 15 and got[5].n_spans == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.substring_dedup(df, policy="nope")
 
 
 def test_substring_dedup_merges_disjoint_spans_and_min_count(spark):
