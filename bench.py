@@ -93,6 +93,8 @@ def query_list(spark, sf_dir):
         ("clean_lines", lambda: noop(q.q_clean_lines(spark, sf_dir))),
         ("lm_score", lambda: noop(q.q_lm_score(spark, sf_dir))),
         ("lm_score2", lambda: noop(q.q_lm_score2(spark, sf_dir))),
+        ("perplexity_buckets", lambda: noop(q.q_perplexity_buckets(spark, sf_dir))),
+        ("substring_keep_first", lambda: noop(q.q_substring_keep_first(spark, sf_dir))),
         ("media_phash", lambda: noop(q.q_media_phash(spark, sf_dir))),
         ("cluster_sample", lambda: noop(q.q_cluster_sample(spark, sf_dir))),
         ("tfidf_terms", lambda: noop(q.q_tfidf_terms(spark, sf_dir))),

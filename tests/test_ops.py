@@ -1327,6 +1327,18 @@ def test_perplexity_buckets_head_and_tail(spark):
     assert rerun == {i: (r.lm_nll2, r.bucket) for i, r in out.items()}
 
 
+def test_perplexity_buckets_scores_materialized_once(spark, docs):
+    """The scored frame feeds two consumers (threshold sample + final
+    bucket pass); the final plan must read the CHECKPOINTED scores
+    (RDD scan), not re-run the whole bigram-LM lineage."""
+    plan = (
+        textops.perplexity_buckets(docs, top_k=16, sample_n=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "Generate explode" not in plan  # no re-derived LM pipeline
+
+
 def test_lm_score2_broadcasts_both_vocabs(spark, docs):
     """Both vocabulary cuts join BROADCAST against the pair events
     (token/bigram frequency is maximally skewed), and the corpus
