@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score2": q.q_lm_score2,
         "substring_keep_first": q.q_substring_keep_first,
         "perplexity_buckets": q.q_perplexity_buckets,
+        "unimax_mix": q.q_unimax_mix,
         # -- (3) code paths touched in round 6
         "full_curation": q.q_full_curation,
         "semantic_dedup": q.q_semantic_dedup,

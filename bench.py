@@ -90,6 +90,7 @@ def query_list(spark, sf_dir):
         ("seed_similarity", lambda: noop(q.q_seed_similarity(spark, sf_dir))),
         ("semantic_dedup", lambda: noop(q.q_semantic_dedup(spark, sf_dir))),
         ("domain_mix", lambda: noop(q.q_domain_mix(spark, sf_dir))),
+        ("unimax_mix", lambda: noop(q.q_unimax_mix(spark, sf_dir))),
         ("clean_lines", lambda: noop(q.q_clean_lines(spark, sf_dir))),
         ("lm_score", lambda: noop(q.q_lm_score(spark, sf_dir))),
         ("lm_score2", lambda: noop(q.q_lm_score2(spark, sf_dir))),

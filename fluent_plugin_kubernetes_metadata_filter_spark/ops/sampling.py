@@ -130,6 +130,92 @@ def domain_mix(df: DataFrame, targets: dict[str, float], domain_col: str,
     return df.where(u < rate)
 
 
+def unimax_rates(masses: dict[str, float], budget: float, max_epochs: float,
+                 grid: int = 4) -> dict[str, float]:
+    """The closed-form epoch-capped waterfill behind `unimax_mix`,
+    exposed pure so the allocation math is unit-testable against hand
+    cases. See `unimax_mix` for the algorithm and the IEEE op-order
+    contract shared with the SQL oracle."""
+    import math
+
+    b, e = float(budget), float(max_epochs)
+    langs = sorted(masses, key=lambda d: (masses[d] * e, d))
+    n = len(langs)
+    caps = [masses[d] * e for d in langs]
+    pc, k, pck = 0.0, 0, 0.0
+    for i, c in enumerate(caps, start=1):
+        pc = pc + c
+        if c * (n - i + 1) <= b - (pc - c):
+            k, pck = i, pc
+        else:
+            break  # saturation is prefix-monotone on the sorted caps
+    m = float(10**grid)
+    return {
+        d: math.floor(
+            min((caps[i - 1] if i <= k else (b - pck) / (n - k)) / masses[d], 1.0)
+            * m
+        ) / m
+        for i, d in enumerate(langs, start=1)
+    }
+
+
+def unimax_mix(df: DataFrame, budget: float, max_epochs: float = 1.0,
+               lang_col: str = "lang", weight_col: str | None = None,
+               id_col: str = "doc_id", seed: int = 29,
+               hash_fn: str = "xxhash64", grid: int = 4) -> DataFrame:
+    """UniMax language-balanced sampling (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", arXiv:2304.09151): spread a token
+    ``budget`` as UNIFORMLY as possible across languages without
+    repeating any language more than ``max_epochs`` times — no target
+    shares needed (the contrast with `domain_mix`, which needs them):
+    low-resource languages contribute everything up to their epoch cap,
+    the budget left over splits evenly among the rest.
+
+    The allocation is epoch-capped WATERFILLING in closed form: sort
+    languages by cap ``c_l = mass_l * max_epochs`` ascending (ties by
+    name); with prefix sums ``P_i`` the saturation test
+    ``c_i * (n - i + 1) <= B - P_{i-1}`` is prefix-monotone (the
+    difference telescopes to ``(c_i - c_{i+1})(n - i) <= 0``), so the
+    saturated set is the first ``k`` languages — each keeps its whole
+    cap — and every other language gets the fair share
+    ``(B - P_k) / (n - k)``. Keep rates ``alloc/mass`` clamp at 1 (a
+    filter cannot upsample; true epoch>1 repetition belongs to the
+    training loader) and floor to the 10^-grid.
+
+    Determinism contract: the driver computes the SAME closed form the
+    SQL oracle does — prefix sums accumulated in the same (cap, lang)
+    order, the saturation test written ``B - (P_i - c_i)`` on both
+    engines (IEEE: ``P_i - c_i`` is NOT ``P_{i-1}``) — so the kept set
+    is a bit-exact property of (ids, seed, budget, observed masses).
+
+    Scale shape, exactly `domain_mix`'s: one map-side-combined
+    aggregation collects O(#languages) masses to the driver, the
+    waterfill is O(n log n) driver arithmetic, and selection is a pure
+    expression filter riding the scan — no corpus shuffle."""
+    mass_expr = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ).cast("double")
+    masses = {
+        r["d"]: float(r["m"])
+        for r in df.groupBy(F.col(lang_col).alias("d"))
+        .agg(mass_expr.alias("m"))
+        .collect()
+        if r["d"] is not None and r["m"] is not None and r["m"] > 0
+    }
+    if not masses:
+        raise ValueError("unimax_mix: no language masses observed")
+    b, e = float(budget), float(max_epochs)
+    if b <= 0 or e <= 0:
+        raise ValueError("unimax_mix: budget and max_epochs must be > 0")
+    rates = unimax_rates(masses, b, e, grid)
+    u = unit_hash(id_col, seed, hash_fn)
+    rate = F.lit(0.0)
+    for d in rates:
+        rate = F.when(F.col(lang_col) == d, F.lit(rates[d])).otherwise(rate)
+    return df.where(u < rate)
+
+
 def stratified_sample(df: DataFrame, fractions: dict[str, float],
                       strata_col: str, default: float = 0.0,
                       id_col: str = "doc_id", seed: int = 42,

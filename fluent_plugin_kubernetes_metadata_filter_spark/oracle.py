@@ -1153,6 +1153,38 @@ r AS (
 )
 SELECT w.doc_id, w.lang FROM w JOIN r ON w.lang = r.lang WHERE w.u < r.rate"""
 
+    # UniMax epoch-capped waterfill in closed form: caps sorted
+    # ascending (ties by lang), window prefix sums in that order, the
+    # saturation test written B - (pc - cap) exactly as the engine's
+    # driver loop writes it (IEEE: pc - cap is NOT the previous prefix
+    # sum), fair share from the k-th running prefix, rates clamped at 1
+    # and floored to the 1e-4 grid before the md5 hash gate
+    q["unimax_mix"] = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+         {_u_sql(29)} AS u
+  FROM documents
+),
+m AS (SELECT lang, CAST(SUM(tok) AS DOUBLE) AS mass FROM w GROUP BY lang),
+o AS (SELECT lang, mass, mass * 0.9 AS cap,
+             ROW_NUMBER() OVER (ORDER BY mass * 0.9, lang) AS i,
+             SUM(mass * 0.9) OVER (ORDER BY mass * 0.9, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             (SELECT COUNT(*) FROM m) AS n
+      FROM m),
+kk AS (SELECT COALESCE(MAX(i), 0) AS k FROM o
+       WHERE cap * (n - i + 1) <= 15000.0 - (pc - cap)),
+pk AS (SELECT COALESCE((SELECT pc FROM o, kk WHERE o.i = kk.k), 0.0) AS p),
+r AS (SELECT lang,
+             floor(LEAST(
+               CASE WHEN i <= (SELECT k FROM kk) THEN cap
+                    ELSE (15000.0 - (SELECT p FROM pk))
+                         / (n - (SELECT k FROM kk)) END / mass,
+               1.0) * 10000) / 10000 AS rate
+      FROM o)
+SELECT w.doc_id, w.lang FROM w JOIN r ON w.lang = r.lang WHERE w.u < r.rate"""
+
     # span-level decontamination: same 10-word chunking; chunks whose
     # normalized fingerprint appears in the eval slice are scrubbed
     q["paragraph_scrub"] = """

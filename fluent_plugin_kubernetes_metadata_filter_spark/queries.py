@@ -677,6 +677,24 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-balanced sampling: a 15,000-token budget spread
+    as uniformly as the 0.9-epoch caps allow — low-mass languages keep
+    everything up to their cap, the remainder splits evenly. The
+    oracle recomputes the closed-form waterfill (sorted caps, prefix
+    sums, prefix-monotone saturation test) with the identical IEEE op
+    order, then replays the same md5 hash gate."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unimax_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("doc_id", "lang", toks.alias("_w"))
+    return unimax_mix(
+        d, budget=15000.0, max_epochs=0.9, lang_col="lang",
+        weight_col="_w", seed=29, hash_fn="md5",
+    ).select("doc_id", "lang")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means clusters (n_iter=0
     — the seed-centroid quantizer, so the DuckDB oracle replays

@@ -1070,6 +1070,61 @@ def test_stratified_sample_fractions_and_nesting(spark, docs):
     assert abs(kept_en / n_en - 0.5) < 0.12
 
 
+def test_unimax_rates_hand_case():
+    """Closed-form waterfill vs a hand computation: with masses
+    100/300/1000, epochs=1, budget=600 — the smallest language
+    saturates (cap 100 <= 600/3 fair share at its turn), the remaining
+    500 splits evenly: allocations 100/250/250, rates 1.0/0.8333/0.25.
+    Also: budget >= total mass -> every rate 1.0; tiny budget -> no
+    language saturates, equal allocations."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unimax_rates
+
+    r = unimax_rates({"a": 100.0, "b": 300.0, "c": 1000.0}, 600.0, 1.0)
+    assert r == {"a": 1.0, "b": 0.8333, "c": 0.25}
+    r = unimax_rates({"a": 100.0, "b": 300.0}, 1e9, 1.0)
+    assert r == {"a": 1.0, "b": 1.0}
+    r = unimax_rates({"a": 300.0, "b": 300.0, "c": 900.0}, 30.0, 1.0)
+    assert r == {"a": 0.0333, "b": 0.0333, "c": 0.0111}  # 10 tokens each
+    # epoch cap binds before mass: caps halve, same fair split of rest
+    r = unimax_rates({"a": 100.0, "b": 300.0, "c": 1000.0}, 600.0, 0.5)
+    # caps 50/150/500; i=1: 50*3=150<=600 sat; i=2: 150*2=300<=550 sat;
+    # i=3: 500*1=500 > 400 unsat -> c gets 400 -> rate 0.4
+    assert r == {"a": 0.5, "b": 0.5, "c": 0.4}
+
+
+def test_unimax_mix_selection(spark, docs):
+    """The saturated (rate-1.0) language keeps every row; keeps are a
+    property of the data (stable under repartitioning); a huge budget
+    keeps the whole corpus; zero/negative budgets raise."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops import sampling
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select("doc_id", "lang", toks.alias("w"))
+    masses = {r.lang: float(r.m)
+              for r in d.groupBy("lang").agg(F.sum("w").alias("m")).collect()}
+    budget = sum(masses.values()) / 2
+    rates = sampling.unimax_rates(masses, budget, 1.0)
+    out = sampling.unimax_mix(d, budget, lang_col="lang", weight_col="w")
+    kept = {r.lang: r.n for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = {r.lang: r.n for r in
+            d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rate in rates.items():
+        if rate == 1.0:
+            assert kept.get(lang) == rows[lang]  # saturated: kept whole
+        else:
+            assert kept.get(lang, 0) < rows[lang]
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {r.doc_id for r in
+             sampling.unimax_mix(d.repartition(7), budget, lang_col="lang",
+                                 weight_col="w").select("doc_id").collect()}
+    assert ids == again
+    assert sampling.unimax_mix(d, 1e12, lang_col="lang",
+                               weight_col="w").count() == d.count()
+    with pytest.raises(ValueError):
+        sampling.unimax_mix(d, 0.0, lang_col="lang", weight_col="w")
+
+
 def test_domain_mix_hits_target_mixture(spark, docs):
     """Token-weighted mixing: the binding domain (scarcest relative to
     its share) is kept whole, unlisted domains are dropped, the kept
