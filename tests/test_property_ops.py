@@ -205,3 +205,40 @@ def test_paragraph_scrub_model_and_idempotent(spark, paras, evals):
         spark.createDataFrame([(1, out.clean_text)], "doc_id long, text string"), ev
     ).collect()[0]
     assert again.clean_text == out.clean_text
+
+
+@given(
+    masses=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=100_000).map(float),
+        min_size=1, max_size=8,
+    ),
+    budget=st.integers(min_value=1, max_value=500_000).map(float),
+    epochs=st.sampled_from([0.25, 0.5, 0.9, 1.0, 2.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_unimax_rates_invariants(masses, budget, epochs):
+    """Waterfill invariants on random inputs: every rate in [0, min(1,
+    epochs)+grid]; total allocated tokens never exceed budget + total
+    flooring slack; when the budget covers every cap, all rates hit
+    min(1, epochs) exactly (up to the floor grid); allocations weakly
+    favor smaller languages (rate non-increasing as mass grows, the
+    uniformity property UniMax is for)."""
+    from fluent_plugin_kubernetes_metadata_filter_spark.ops.sampling import unimax_rates
+
+    rates = unimax_rates(masses, budget, epochs)
+    assert set(rates) == set(masses)
+    cap_rate = min(1.0, epochs)
+    for d, r in rates.items():
+        assert 0.0 <= r <= cap_rate + 1e-4, (d, r)
+    allocated = sum(rates[d] * masses[d] for d in masses)
+    slack = sum(masses.values()) * 1e-4  # grid flooring slack
+    assert allocated <= budget + slack or allocated <= sum(
+        masses[d] * cap_rate for d in masses
+    ) + slack
+    if budget >= sum(masses.values()) * epochs:
+        floor_cap = int(cap_rate * 10_000) / 10_000
+        assert all(abs(r - floor_cap) < 1e-9 for r in rates.values()), rates
+    by_mass = sorted(masses, key=lambda d: (masses[d], d))
+    for a, b in zip(by_mass, by_mass[1:]):
+        assert rates[a] >= rates[b] - 1e-4, (a, b, rates)
