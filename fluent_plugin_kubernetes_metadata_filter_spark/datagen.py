@@ -37,11 +37,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GEN_VERSION = 11  # bump to force regeneration of /root/repo/data
+GEN_VERSION = 12  # bump to force regeneration of /root/repo/data
 
 # Small row groups so Spark's file splitter can parallelize a single
 # local parquet file (splits only land on row-group boundaries).
-ROW_GROUP_SIZE = 65536
+# 32768 (round 7, was 65536): at sf0.1 the 1.17M-row transcripts file
+# carried only 18 row groups — a hard ceiling of 18 scan tasks on 32
+# cores whatever the split size; 32768-row groups give ~36 splittable
+# units so the scan fills the box (values unchanged — layout only).
+ROW_GROUP_SIZE = 32768
 
 _UUID_NS = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")
 

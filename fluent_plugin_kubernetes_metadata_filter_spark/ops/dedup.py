@@ -135,6 +135,7 @@ class SeenBloom:
         self.n_bits = n_bits
         self.n_hashes = n_hashes
         self.seed = seed
+        self._bc = None  # broadcast of `words`, created once per context
 
     def _positions(self, c: F.Column) -> F.Column:
         return F.array(
@@ -148,8 +149,15 @@ class SeenBloom:
         from pyspark.sql import SparkSession
         from pyspark.sql.functions import pandas_udf
 
-        spark = SparkSession.getActiveSession()
-        b = spark.sparkContext.broadcast(self.words)
+        # getActiveSession() is None on non-main threads with no active
+        # session — fall back to the builder rather than dying on
+        # `.sparkContext` of None (ADVICE round 6).
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        # broadcast the word array ONCE per SeenBloom (ADVICE round 6:
+        # each might_contain call used to create a fresh broadcast)
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(self.words)
+        b = self._bc
 
         @pandas_udf("boolean")
         def probe(pos: pd.Series) -> pd.Series:
@@ -258,11 +266,21 @@ def incremental_dedup(batch: DataFrame, seen: DataFrame,
         s = F.broadcast(s)
     if bloom is None:
         return d.join(s, fingerprint_col, "left_anti")
+    # ONE-pass formulation (round 7; ADVICE round 6 flagged the previous
+    # fresh/candidates two-branch union for evaluating the bloom probe —
+    # and the keeper window above the reused exchange — twice): the
+    # bloom verdict rides INSIDE the anti-join condition. A row with
+    # ``_mc = false`` (bloom-cleared, definitely new) can never satisfy
+    # the condition, so it survives the anti-join untouched — exactly
+    # the old ``fresh`` branch; ``_mc = true`` rows get the exact
+    # anti-join — exactly the old ``candidates`` branch. The equi key
+    # is still extracted (hash/SMJ join, never nested-loop), the window
+    # partitioning is still reused, and the probe evaluates once.
     mc = bloom.might_contain(F.col(fingerprint_col))
     d = d.withColumn("_mc", mc)
-    fresh = d.where(~F.col("_mc")).drop("_mc")
-    candidates = d.where(F.col("_mc")).drop("_mc")
-    return fresh.unionByName(candidates.join(s, fingerprint_col, "left_anti"))
+    s2 = s.withColumnRenamed(fingerprint_col, "_seen_fp")
+    cond = F.col("_mc") & (F.col(fingerprint_col) == F.col("_seen_fp"))
+    return d.join(s2, on=cond, how="left_anti").drop("_mc")
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

@@ -84,34 +84,53 @@ def _native_branch(col: Column, pattern: str, names: list[str]) -> dict[str, Col
 def extract_native(df: DataFrame, source_col: str = "tool",
                    pods_pattern: str | None = None,
                    containers_pattern: str | None = None) -> DataFrame:
-    """JVM-side extraction. Adds EXTRACTED_COLS; null = group absent."""
+    """JVM-side extraction. Adds EXTRACTED_COLS; null = group absent.
+
+    All six outputs come from ONE staged struct per row, so each branch
+    RLIKE evaluates once per row instead of once per output column (the
+    per-column formulation ran the union regex up to 12x/row — measured
+    2.8s -> 1.6s at sf0.1 on the isolated extraction; the non-cheap
+    multi-referenced ``_xs`` alias blocks CollapseProject from
+    re-inlining, the same staging contract as ``extract_fast``). Each
+    branch RLIKE is additionally guarded by a ``contains()`` on the
+    branch's literal prefix — a NECESSARY condition for a match when
+    the pattern embeds that literal — so passthrough rows (no k8s tag)
+    skip the backtracking regexes entirely. Custom patterns get no
+    contains guard (their required literals are unknown)."""
     pp = pods_pattern or REGEX_VAR_LOG_PODS
     cp = containers_pattern or REGEX_VAR_LOG_CONTAINERS
     src = F.col(source_col)
     pods_m = src.rlike(_java_pattern(pp))
     cont_m = src.rlike(_java_pattern(cp))
+    if pods_pattern is None:
+        pods_m = F.contains(src, F.lit(_PODS_PREFIX)) & pods_m
+    if containers_pattern is None:
+        cont_m = F.contains(src, F.lit(_CONT_PREFIX)) & cont_m
     p = _native_branch(src, pp, ["namespace", "pod_name", "container_name", "pod_uuid"])
     c = _native_branch(src, cp, ["namespace", "pod_name", "container_name", "docker_id"])
-    # PODS branch first, like the reference's union regex (filter:66-67).
-    branch = F.when(pods_m, F.lit("pods")).when(cont_m, F.lit("containers"))
+    null = F.lit(None).cast("string")
 
-    def pick(name: str) -> Column:
-        pv = p.get(name)
-        cv = c.get(name)
-        return (
-            F.when(pods_m, pv if pv is not None else F.lit(None).cast("string"))
-            .when(cont_m, cv if cv is not None else F.lit(None).cast("string"))
-            .otherwise(F.lit(None).cast("string"))
+    def fields(vals: dict[str, Column], branch: Column) -> Column:
+        order = ["namespace", "pod_name", "container_name", "pod_uuid", "docker_id"]
+        return F.struct(
+            *[
+                (vals[n] if vals.get(n) is not None else null).alias(f"x_{a}")
+                for n, a in zip(order, ["namespace", "pod_name", "container_name",
+                                        "pod_uuid", "docker_id"])
+            ],
+            branch.alias("x_branch"),
         )
 
-    return (
-        df.withColumn("x_namespace", pick("namespace"))
-        .withColumn("x_pod_name", pick("pod_name"))
-        .withColumn("x_container_name", pick("container_name"))
-        .withColumn("x_pod_uuid", pick("pod_uuid"))
-        .withColumn("x_docker_id", pick("docker_id"))
-        .withColumn("x_branch", branch)
+    # PODS branch first, like the reference's union regex (filter:66-67).
+    xs = (
+        F.when(pods_m, fields(p, F.lit("pods")))
+        .when(cont_m, fields(c, F.lit("containers")))
+        .otherwise(fields({}, null))
     )
+    df = df.withColumn("_xs", xs)
+    for name in EXTRACTED_COLS:
+        df = df.withColumn(name, F.col(f"_xs.{name}"))
+    return df.drop("_xs")
 
 
 _EXTRACT_SCHEMA = T.StructType(
@@ -338,10 +357,14 @@ def extract_fast(df: DataFrame, source_col: str = "tool") -> DataFrame:
     )
 
     # ---- fallback: the exact reference regexes, evaluated ONLY for rows
-    # the fast path rejects (codegen CASE short-circuits per row)
+    # the fast path rejects (codegen CASE short-circuits per row). Each
+    # regex is guarded by a contains() on its literal prefix — a
+    # NECESSARY condition for a match (the pattern embeds the literal),
+    # so semantics are unchanged, but passthrough rows (no k8s tag at
+    # all) skip the expensive backtracking regexes entirely.
     pp, cp = REGEX_VAR_LOG_PODS, REGEX_VAR_LOG_CONTAINERS
-    rx_pods = src.rlike(_java_pattern(pp))
-    rx_cont = src.rlike(_java_pattern(cp))
+    rx_pods = F.contains(src, F.lit(_PODS_PREFIX)) & src.rlike(_java_pattern(pp))
+    rx_cont = F.contains(src, F.lit(_CONT_PREFIX)) & src.rlike(_java_pattern(cp))
     p_rx = _native_branch(src, pp, ["namespace", "pod_name", "container_name", "pod_uuid"])
     c_rx = _native_branch(src, cp, ["namespace", "pod_name", "container_name", "docker_id"])
 

@@ -33,6 +33,11 @@ def build_session(app: str = "fluent-k8s-meta-spark", master: str | None = None,
         # default 128MB split size would serialize the scan onto one task.
         # On a real cluster over 100 TB you keep the default (or larger).
         .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        # scale-ADAPTIVE scan-parallelism floor (guide §6.1): derive the
+        # split size from the core count instead of a byte constant, so
+        # a small input still produces >= one task per core (at 100 TB
+        # the byte cap above binds instead and this floor is a no-op).
+        .config("spark.sql.files.minPartitionNum", cpus)
         # regex-heavy projections allocate hard; throughput GC beats G1
         # for this batch-style workload on a single big JVM
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
