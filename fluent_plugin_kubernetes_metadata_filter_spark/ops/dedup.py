@@ -822,8 +822,12 @@ def propagate_min_keeper(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id
     Each round materializes the new labels via ``localCheckpoint`` so the
     plan stays bounded-depth regardless of round count (unmaterialized
     lineage would grow joins per round and every convergence probe would
-    re-execute the whole chain); the probe itself is an ``isEmpty`` on
-    the changed-rows diff, not a full count.
+    re-execute the whole chain). The convergence probe is an
+    ``observe()`` counter (changed = new label != round-start label,
+    the old label riding through the round's joins) read off the SAME
+    action that materializes the checkpoint — round 7: the previous
+    separate diff-join + ``isEmpty`` cost one extra join and one extra
+    job per round, pure driver-synchronized overhead at any scale.
 
     Raises RuntimeError if ``max_iter`` rounds pass without convergence —
     a silent early exit would hand back intermediate labels that look
@@ -842,21 +846,29 @@ def propagate_min_keeper(pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
         hopped = labels.join(nbr_min, "u", "left").select(
-            "u", F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl")
+            "u",
+            F.col("lbl").alias("_old"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
         )
         # pointer jump: lbl <- min(lbl, lbl's lbl). Every lbl is a node
         # id present in `hopped`, so the inner self-join is total.
         parent = hopped.select(F.col("u").alias("lbl"), F.col("lbl").alias("plbl"))
-        new_labels = hopped.join(parent, "lbl").select(
-            "u", F.least(F.col("lbl"), F.col("plbl")).alias("lbl")
+        obs = Observation()
+        new_labels = (
+            hopped.join(parent, "lbl")
+            .select("u", "_old", F.least(F.col("lbl"), F.col("plbl")).alias("lbl"))
+            .observe(
+                obs, F.count(F.when(F.col("lbl") != F.col("_old"), 1)).alias("changed")
+            )
+            .select("u", "lbl")
         )
         new_labels = new_labels.localCheckpoint()  # truncate lineage per round
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .isEmpty()
-        )
+        # the eager checkpoint IS the action the observation waits on;
+        # empty-row guard mirrors DropObservation (an optimizer rule
+        # that dropped the CollectMetrics node must read as "no rows
+        # changed", not a deep Py4J error)
+        jrow = obs._jo.getRow()
+        converged = (int(obs.get["changed"] or 0) == 0) if jrow.length() else True
         labels = new_labels
         if converged:
             break

@@ -91,6 +91,11 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
     df = routed_output(spark, sf_dir, cfg)
     if out_dir:
         write_routed(df, out_dir, cfg.route_column)
+        counts = written_sink_counts(out_dir, cfg.route_column)
+        if counts is not None:
+            return spark.createDataFrame(
+                counts, "sink string, n_rows bigint"
+            ).orderBy("sink")
         back = spark.read.parquet(out_dir)
         return (
             back.groupBy(
@@ -102,6 +107,49 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
             .orderBy("sink")
         )
     return per_sink_counts(df, cfg.route_column).orderBy("sink")
+
+
+# files-per-output bound for the driver-side footer count; beyond it the
+# distributed readback scan is the right tool (see written_sink_counts)
+_FOOTER_COUNT_MAX_FILES = 65536
+
+
+def written_sink_counts(out_dir: str, route_column: str) -> list[tuple[str, int]] | None:
+    """Per-sink row counts of a routed output, from the WRITTEN files'
+    parquet FOOTER metadata (pyarrow, one footer read per file — no
+    Spark job, no per-file task launch): the count still derives from
+    the written output (the `run` contract — the enrichment DAG
+    executes exactly once), but the readback that cost a task per small
+    file on local disk becomes a sub-second metadata pass.
+
+    Scale guard: a driver loop over footers is only sane for a bounded
+    file count; beyond ``_FOOTER_COUNT_MAX_FILES`` return None and let
+    the caller run the distributed readback (at that scale a table
+    format's snapshot statistics — Iceberg — is the real answer,
+    SURVEY §3.3)."""
+    from collections import Counter
+    from urllib.parse import unquote
+
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(out_dir, format="parquet", partitioning="hive")
+    frags = list(d.get_fragments())
+    if len(frags) > _FOOTER_COUNT_MAX_FILES:
+        return None
+    prefix = f"{route_column}="
+    cnt: Counter = Counter()
+    for frag in frags:
+        key = None
+        for part in frag.path.split("/"):
+            if part.startswith(prefix):
+                key = part[len(prefix):]
+        name = (
+            PASSTHROUGH
+            if key is None or key == "__HIVE_DEFAULT_PARTITION__"
+            else unquote(key)
+        )
+        cnt[name] += frag.count_rows()
+    return sorted(cnt.items())
 
 
 def run_resumable(spark: SparkSession, sf_dir: str, out_dir: str,
