@@ -336,7 +336,17 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str = "text",
     Returns ``(id, logw, n_feats)`` for every raw doc."""
     import math
 
-    raw_f = _doc_features(raw, text_col, id_col, ns, n_buckets)
+    # raw_f feeds TWO consumers (the bucket-count collect and the
+    # scoring pass); localCheckpoint materializes the (id, bucket)
+    # int-pair rows once so the tokenize + n-gram build + md5 bucketing
+    # of the raw corpus runs ONCE, not twice (round 7; the
+    # token_budget/lm_score doctrine — ~16 bytes/occurrence of
+    # executor-local disk buys back a full corpus featurization pass,
+    # the expensive md5-per-gram part). No arithmetic changes: the
+    # scoring expression still consumes the identical occurrence rows.
+    raw_f = _doc_features(raw, text_col, id_col, ns, n_buckets).localCheckpoint(
+        eager=False
+    )
     tgt_f = _doc_features(target, text_col, id_col, ns, n_buckets)
     rc = {r["b"]: r["c"] for r in
           raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()}

@@ -460,6 +460,56 @@ def _assign_gemm_sharded(df: DataFrame, cents: list[list[float]],
 _GEMM_AUTO_K = 64
 
 
+def _cluster_drops_gemm(nrm: DataFrame, threshold: float, grid: int,
+                        id_col: str = "_sid",
+                        block_rows: int = 4096) -> DataFrame:
+    """SemDeDup within-cluster drop set via one BLOCKED numpy GEMM per
+    cluster (``applyInPandas`` over the cluster key) — round 7's scale
+    form of the pair stage for the UNCAPPED path: instead of expanding
+    every within-cluster pair into a row carrying two dim-sized vector
+    payloads and folding an interpreted per-element dot over each
+    (higher-order lambdas evaluate interpreted — measured ~2 s of the
+    op's ~3 s at sf0.1), each cluster's normalized vectors cross the
+    shuffle ONCE and all pairwise cosines come out of BLAS. Work and
+    output are unchanged: drop j iff some i < j (id order) in the same
+    cluster has floored-grid cosine >= threshold.
+
+    The n_c x n_c similarity matrix is never materialized whole —
+    ``block_rows`` rows at a time bound the buffer (same 32 MB doctrine
+    as ``_assign_gemm``); per-task memory is the cluster's n_c x dim
+    vector block, the same bound the grouped expansion's collect_list
+    already implied. A degenerate hot cluster needs the capped
+    expansion path instead (``bucket_cap`` — see ``semantic_dedup``).
+    Returns one ``(id,)`` row per dropped item (already distinct)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    m = float(10**grid)
+    thr = float(threshold)
+    id_type = nrm.schema[id_col].dataType
+    schema = T.StructType([T.StructField(id_col, id_type)])
+
+    def drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][[id_col]]
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array(list(pdf["vn"]), dtype=np.float64)[order]
+        dropped = np.zeros(n, dtype=bool)
+        col = np.arange(n)[None, :]
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            S = V[s:e] @ V.T  # block_rows x n_c
+            Sf = np.floor(S * m) / m
+            hit = (Sf >= thr) & (col > np.arange(s, e)[:, None])
+            dropped |= hit.any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return nrm.groupBy("c").applyInPandas(drops, schema)
+
+
 def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
                    threshold: float = 0.95, n_iter: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -547,18 +597,27 @@ def semantic_dedup(df: DataFrame, dim: int, n_clusters: int = 16,
                 F.col("_n") > 0, F.transform("v", lambda x: x / F.col("_n"))
             ).otherwise(F.col("v")).alias("vn"),
         )
-    pairs, obs = grouped_pair_expansion(
-        nrm.select("_sid", F.col("c").cast("bigint").alias("ck"), "vn"),
-        id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="vn",
-    )
-    m = float(10**grid)
-    sim = _dot(F.col("payload_a"), F.col("payload_b"))
-    dropped = (
-        pairs.where(F.floor(sim * m) / m >= threshold)
-        .select(F.col("id_b").alias("_sid"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
+    if bucket_cap is None:
+        # uncapped path: per-cluster blocked GEMM (see _cluster_drops_gemm)
+        # — same drop rule, vectors cross the cluster shuffle once, no
+        # interpreted per-pair dot, no pair-row payload materialization
+        obs = None
+        dropped = _cluster_drops_gemm(
+            nrm.select("_sid", "c", "vn"), threshold, grid
+        ).withColumn("_drop", F.lit(1))
+    else:
+        pairs, obs = grouped_pair_expansion(
+            nrm.select("_sid", F.col("c").cast("bigint").alias("ck"), "vn"),
+            id_col="_sid", tok_col="ck", df_cap=bucket_cap, payload_col="vn",
+        )
+        m = float(10**grid)
+        sim = _dot(F.col("payload_a"), F.col("payload_b"))
+        dropped = (
+            pairs.where(F.floor(sim * m) / m >= threshold)
+            .select(F.col("id_b").alias("_sid"))
+            .distinct()
+            .withColumn("_drop", F.lit(1))
+        )
     marked = asg.join(dropped, "_sid", "left").select(
         F.col("_sid").alias(id_col),
         F.col("c").alias("cluster"),
