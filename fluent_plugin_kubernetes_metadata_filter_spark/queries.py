@@ -381,13 +381,19 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import paragraph_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # token array STAGED through a column: an inline split() gets
+    # duplicated into every per-chunk slice by Catalyst — re-splitting
+    # the text per chunk, O(tokens x chunks) per doc (round 7; the
+    # shingles_from_tokens staging contract)
+    tk = F.col("_tk")
     nch = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
     paras = F.transform(
         F.sequence(F.lit(1), nch),
         lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 10 + 1, 10)),
     )
-    structured = docs.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    structured = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_tk")
+    ).select("doc_id", F.array_join(paras, "\n\n").alias("text"))
     return paragraph_dedup(structured, max_df=1)
 
 
@@ -565,13 +571,17 @@ def q_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import paragraph_scrub
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # staged token array — same O(tokens x chunks) guard as
+    # q_paragraph_dedup (round 7)
+    tk = F.col("_tk")
     nch = F.ceil(F.size(tk) / F.lit(10.0)).cast("int")
     paras = F.transform(
         F.sequence(F.lit(1), nch),
         lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 10 + 1, 10)),
     )
-    structured = docs.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    structured = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_tk")
+    ).select("doc_id", F.array_join(paras, "\n\n").alias("text"))
     ev = structured.where(F.col("doc_id") % 97 == 0)
     return paragraph_scrub(structured, ev)
 
@@ -645,7 +655,10 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.text import clean_lines
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tk = F.split(F.trim(F.col("text")), r"\s+")
+    # staged token array (round 7): chunk(i) is referenced TWICE per
+    # line (text + md5 coin), so an inline split() would re-split the
+    # text 2x per chunk — O(tokens x chunks) per doc
+    tk = F.col("_tk")
     nch = F.ceil(F.size(tk) / F.lit(8.0)).cast("int")
     chunk = lambda i: F.concat_ws(" ", F.slice(tk, (i - F.lit(1)) * 8 + 1, 8))  # noqa: E731
     lines = F.transform(
@@ -655,7 +668,9 @@ def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.substring(F.md5(chunk(i)), 1, 1) < "8", F.lit(".")).otherwise(F.lit("")),
         ),
     )
-    structured = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    structured = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk")
+    ).select("doc_id", F.array_join(lines, "\n").alias("text"))
     # page_ban_substrings=() too: the oracle's keep gate is n_kept >= 3
     # only, so the engine's default page markers ('lorem ipsum', '{')
     # must be off or a corpus doc containing one would flip keep
@@ -831,29 +846,35 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is the shingle, so the self-join distributes; at 100 TB
     you'd LSH first (minhash) and only Jaccard-verify candidates."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # String-free shingle keys (round 7, the minhash_signatures fast
+    # path): hash the word TRIPLE via xxhash64 argument chaining instead
+    # of building a 3-word string per shingle and hashing that — no
+    # shingle-string allocation, same int64 shuffle width. The token
+    # array is STAGED through a column (the raw split() expression would
+    # be inlined into every element_at by Catalyst — re-splitting the
+    # text per element, the O(tokens^2) hazard shingles_from_tokens
+    # documents). Distinct triples == distinct shingle strings (tokens
+    # contain no whitespace), so intersection/size counts — and the
+    # oracle's raw-string Jaccard — are unchanged barring a 64-bit hash
+    # collision (p ~ n^2/2^65, the already-documented contract).
     # NB: Spark sequence(1, 0) is DESCENDING, not empty — guard short docs
-    shingles = F.when(
+    tk = F.col("_tk")
+    hashes = F.when(
         F.size(tk) >= 3,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(tk) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+                lambda i: F.xxhash64(
+                    F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
                 ),
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    # shingles shuffle as xxhash64 int64s, not strings: ~60% fewer
-    # shuffle bytes on the job's big exchange and cheaper sort/compare.
-    # Results are identical to the string-keyed form barring a 64-bit
-    # hash collision (p ~ n^2/2^65; the DuckDB oracle computes from raw
-    # shingles and stays value-equal — verified at sf0.01 and sf0.1).
+    ).otherwise(F.array().cast("array<bigint>"))
     from fluent_plugin_kubernetes_metadata_filter_spark.ops.dedup import _spread
 
     toks = _spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("tok")
-    )
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_tk")
+    ).select("doc_id", F.explode(hashes).alias("tok"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # one shuffle keyed by shingle + inline pair expansion, with a
     # stop-shingle document-frequency cap (256 — far above the measured
