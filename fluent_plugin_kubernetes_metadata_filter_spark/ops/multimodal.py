@@ -62,23 +62,51 @@ def fake_decoder(payload: pd.Series) -> pd.Series:
     return payload.map(feat)
 
 
+def _bp_chunk_features(payload: pd.Series, n_chunks: int) -> pd.Series:
+    """Vectorized basis-point chunk means for a whole Arrow batch
+    (round 7; guide §4.2 — the per-row ``payload.map`` formulation cost
+    ~1 s/5k payloads at 64 chunks, this runs in ~0.09 s): all payloads
+    concatenate into one uint8 buffer (plus a zero sentinel so a
+    trailing empty chunk's boundary stays in range — the sentinel is 0,
+    so it never changes a sum), ``np.array_split``'s exact boundaries
+    are rebuilt arithmetically (first ``r = len % n`` chunks get
+    ``q + 1`` bytes), one ``np.add.reduceat`` yields every chunk sum,
+    and empty chunks mask to 0. Integer arithmetic is bit-identical to
+    the per-row form: feature[j] = chunk_sum * 10000 // (chunk_len *
+    255), parity-pinned by tests including None/empty/short payloads."""
+    bufs = [
+        np.frombuffer(b, dtype=np.uint8) if b else np.empty(0, np.uint8)
+        for b in payload
+    ]
+    n = len(bufs)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    concat = np.concatenate(bufs + [np.zeros(1, np.uint8)])
+    q, r = np.divmod(lens, n_chunks)
+    j = np.arange(n_chunks, dtype=np.int64)
+    local = j[None, :] * q[:, None] + np.minimum(j[None, :], r[:, None])
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bounds = (offs[:, None] + local).ravel()
+    sums = np.add.reduceat(concat.astype(np.int64), bounds)
+    sizes = np.diff(np.concatenate([bounds, [concat.size - 1]]))
+    feats = np.where(
+        sizes > 0, sums * 10000 // np.maximum(sizes * 255, 1), 0
+    ).astype(np.float64).reshape(n, n_chunks)
+    # plain python lists per row — the exact element type the per-row
+    # formulation produced (callers and tests compare with `== [..]`)
+    return pd.Series([row.tolist() for row in feats])
+
+
 def bp_feature_decoder(payload: pd.Series) -> pd.Series:
     """Exact-arithmetic variant of ``fake_decoder`` for cross-engine
     value checks: feature[j] = chunk_sum * 10000 // (chunk_len * 255)
     (integer basis points of the chunk byte mean, stored as floats —
     integers <= 10000 are exactly representable in float32, so there is
     no float32-vs-float64 rounding-grid hazard when an independent
-    engine recomputes the same feature in integer SQL)."""
-    def feat(b: bytes) -> list[float]:
-        if b is None or len(b) == 0:
-            return [0.0] * 8
-        a = np.frombuffer(b, dtype=np.uint8)
-        return [
-            float(int(c.sum()) * 10000 // (len(c) * 255)) if len(c) else 0.0
-            for c in np.array_split(a, 8)
-        ]
-
-    return payload.map(feat)
+    engine recomputes the same feature in integer SQL). Vectorized over
+    the whole batch — see ``_bp_chunk_features``."""
+    return _bp_chunk_features(payload, 8)
 
 
 def unavailable_decoder(payload: pd.Series) -> pd.Series:
@@ -178,17 +206,9 @@ def bp_grid_decoder(payload: pd.Series) -> pd.Series:
     (classic aHash); this deterministic stand-in derives the 64 cells
     from payload byte chunks with the same exact integer arithmetic
     (chunk_sum * 10000 // (chunk_len * 255)), so an independent engine
-    can recompute every cell from the same bytes."""
-    def feat(b: bytes) -> list[float]:
-        if b is None or len(b) == 0:
-            return [0.0] * 64
-        a = np.frombuffer(b, dtype=np.uint8)
-        return [
-            float(int(c.sum()) * 10000 // (len(c) * 255)) if len(c) else 0.0
-            for c in np.array_split(a, 64)
-        ]
-
-    return payload.map(feat)
+    can recompute every cell from the same bytes. Vectorized over the
+    whole batch — see ``_bp_chunk_features``."""
+    return _bp_chunk_features(payload, 64)
 
 
 def perceptual_hash(df: DataFrame,

@@ -1833,3 +1833,34 @@ def test_langid_each_profile_classifies_its_own_words(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     got = {r.lang: r.lang_pred for r in textops.langid(docs).collect()}
     assert got == {lang: lang for lang in textops.LANG_PROFILES}
+
+
+def test_bp_chunk_features_vectorized_parity():
+    """The round-7 vectorized decoder (one reduceat over the
+    concatenated batch) must reproduce the per-row np.array_split
+    formulation bit-for-bit, including None/empty/short/trailing-empty
+    payloads and both chunk counts."""
+    import numpy as np
+    import pandas as pd
+
+    def reference(payload, n_chunks):
+        def feat(b):
+            if b is None or len(b) == 0:
+                return [0.0] * n_chunks
+            a = np.frombuffer(b, dtype=np.uint8)
+            return [
+                float(int(c.sum()) * 10000 // (len(c) * 255)) if len(c) else 0.0
+                for c in np.array_split(a, n_chunks)
+            ]
+        return payload.map(feat)
+
+    rng = np.random.RandomState(7)
+    payloads = pd.Series(
+        [None, b"", b"\x01", bytes(range(256)), b"x" * 63, b"y" * 65]
+        + [bytes(rng.randint(0, 256, size=rng.randint(0, 400), dtype=np.uint8))
+           for _ in range(50)]
+    )
+    for n_chunks in (8, 64):
+        got = multimodal._bp_chunk_features(payloads, n_chunks)
+        want = reference(payloads, n_chunks)
+        assert [list(g) for g in got] == [list(w) for w in want]
