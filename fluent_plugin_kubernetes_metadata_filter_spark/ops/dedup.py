@@ -662,12 +662,19 @@ def dedup_pipeline(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ex = exact_dedup(df, text_col, id_col)
     # keepers via a fingerprint-window filter, NOT a join back onto ex:
     # a join would shuffle the full text-carrying corpus a second time;
-    # the window shuffles it once on the same key exact_dedup groups by
+    # the window shuffles it once on the same key exact_dedup groups by.
+    # localCheckpoint (round 7): keepers feeds TWO text-consuming
+    # subtrees (the MinHash signature build and the Jaccard verify);
+    # exchange reuse already ran the scan+shuffle once, but each
+    # consumer re-ran the window sort+filter over the exchange output —
+    # materializing the keeper rows once trades one corpus-width local
+    # write for the second sort pass (the full_curation doctrine).
     w = Window.partitionBy(_content_fingerprint(text_col))
     keepers = (
         df.withColumn("_k0", F.min(F.col(id_col)).over(w))
         .where(F.col(id_col) == F.col("_k0"))
         .drop("_k0")
+        .localCheckpoint(eager=False)
     )
     near = minhash_dedup(keepers, text_col, id_col, threshold, bucket_cap,
                          obs_out=obs_out)

@@ -148,7 +148,20 @@ def unimax_rates(masses: dict[str, float], budget: float, max_epochs: float,
         if c * (n - i + 1) <= b - (pc - c):
             k, pck = i, pc
         else:
-            break  # saturation is prefix-monotone on the sorted caps
+            # Saturation is prefix-monotone on the sorted caps, so the
+            # first failure ends the saturated set. EQUIVALENCE NOTE
+            # (ADVICE round 6): the SQL oracle takes MAX(i) over ALL
+            # rows passing this same test rather than breaking at the
+            # first failure; the two agree because monotonicity holds
+            # in the shared IEEE op order — both engines evaluate
+            # ``c_i * (n-i+1) <= B - (P_i - c_i)`` with identical
+            # double literals and accumulation order (the telescoped
+            # difference (c_i - c_{i+1})(n - i) <= 0 is exact in any
+            # rounding), and exact cap ties at the budget edge evaluate
+            # the identical expression on both engines, so no row after
+            # the first failure can pass on one engine and not the
+            # other.
+            break
     m = float(10**grid)
     return {
         d: math.floor(
