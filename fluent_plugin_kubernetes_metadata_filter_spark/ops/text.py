@@ -229,6 +229,15 @@ def pinned_prefix_sum(d: DataFrame, order_cols: list, value_col: str,
     from pyspark.sql import Window
 
     nparts = d.sparkSession.sparkContext.defaultParallelism
+    # ``repartitionByRange`` SAMPLES its input to pick boundaries
+    # (RangePartitioner.sketch), then reads it again for the shuffle —
+    # and each read executes everything upstream of ``d``: for
+    # token_budget that is the whole scoring DAG, for full_curation the
+    # scoring + three gate semi-joins, all TWICE. Stage the narrow
+    # (order, value) rows once so the sample pass and the shuffle both
+    # read materialized rows (round 7; the input here is always
+    # id + sort key + value — a few dozen bytes/row, never the text).
+    d = d.localCheckpoint(eager=False)
     d = d.repartitionByRange(nparts, *order_cols)
     d = d.withColumn("_pid", F.spark_partition_id())
     d = d.localCheckpoint(eager=True)
