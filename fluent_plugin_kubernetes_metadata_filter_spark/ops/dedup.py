@@ -716,11 +716,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         bit = lambda i: F.shiftright(F.col("hlo"), i).bitwiseAND(F.lit(1))  # noqa: E731
     elif token_hash == "md5":
-        m = F.md5(F.col("t"))
+        # stage the md5 through a column: referencing the raw expression
+        # from both halves evaluates md5 twice per token (round 7; the
+        # non-cheap multi-referenced alias blocks CollapseProject)
         hashed = toks.select(
+            F.col(id_col), F.md5(F.col("t")).alias("_m")
+        ).select(
             F.col(id_col),
-            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hlo"),
-            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hhi"),
+            F.conv(F.substring(F.col("_m"), 1, 8), 16, 10).cast("long").alias("hlo"),
+            F.conv(F.substring(F.col("_m"), 9, 8), 16, 10).cast("long").alias("hhi"),
         )
         bit = lambda i: F.shiftright(  # noqa: E731
             F.col("hlo") if i < 32 else F.col("hhi"), i % 32
