@@ -110,26 +110,31 @@ def extract_native(df: DataFrame, source_col: str = "tool",
     c = _native_branch(src, cp, ["namespace", "pod_name", "container_name", "docker_id"])
     null = F.lit(None).cast("string")
 
-    def fields(vals: dict[str, Column], branch: Column) -> Column:
+    def fields(vals: dict[str, Column]) -> Column:
         order = ["namespace", "pod_name", "container_name", "pod_uuid", "docker_id"]
         return F.struct(
-            *[
-                (vals[n] if vals.get(n) is not None else null).alias(f"x_{a}")
-                for n, a in zip(order, ["namespace", "pod_name", "container_name",
-                                        "pod_uuid", "docker_id"])
-            ],
-            branch.alias("x_branch"),
+            *[(vals[n] if vals.get(n) is not None else null).alias(f"x_{n}")
+              for n in order]
         )
 
     # PODS branch first, like the reference's union regex (filter:66-67).
     xs = (
-        F.when(pods_m, fields(p, F.lit("pods")))
-        .when(cont_m, fields(c, F.lit("containers")))
-        .otherwise(fields({}, null))
+        F.when(pods_m, fields(p))
+        .when(cont_m, fields(c))
+        .otherwise(fields({}))
     )
-    df = df.withColumn("_xs", xs)
+    # x_branch stays OUTSIDE the struct: a downstream filter on the
+    # branch (q_parse_containers/q_parse_pods) then pushes down only the
+    # cheap match conditions — were it a struct field, predicate
+    # pushdown would inline the WHOLE struct (all four regexp_extracts)
+    # into the Filter just to read one field (round 7, plan-verified;
+    # within one Project codegen subexpression elimination already
+    # shares the match conditions between x_branch and _xs).
+    branch = F.when(pods_m, F.lit("pods")).when(cont_m, F.lit("containers"))
+    df = df.withColumn("_xs", xs).withColumn("x_branch", branch)
     for name in EXTRACTED_COLS:
-        df = df.withColumn(name, F.col(f"_xs.{name}"))
+        if name != "x_branch":
+            df = df.withColumn(name, F.col(f"_xs.{name}"))
     return df.drop("_xs")
 
 
