@@ -101,15 +101,27 @@ def compile_grok(expr: str, patterns: dict[str, str] | None = None) -> tuple[str
 def grok_extract(df: DataFrame, source_col: str, expr: str,
                  patterns: dict[str, str] | None = None,
                  prefix: str = "") -> DataFrame:
-    """Add one column per grok field (null when the line doesn't match)."""
+    """Add one column per grok field (null when the line doesn't match).
+
+    All fields come from ONE staged match-gated struct (round 7): the
+    previous per-column ``when(matched, extract)`` form re-evaluated the
+    rlike once per field — up to 2n+1 executions of the full grok regex
+    per row for an n-field pattern (the parse.extract_native lesson);
+    staged, the rlike runs once and each group extracts once, and a
+    non-matching row short-circuits past every extract."""
     regex, gi = compile_grok(expr, patterns)
     src = F.col(source_col)
     matched = src.rlike(regex)
-    for field, idx in gi.items():
-        df = df.withColumn(
-            prefix + field, F.when(matched, F.regexp_extract(src, regex, idx))
-        )
-    return df.withColumn(prefix + "grok_matched", matched)
+    gs = F.when(
+        matched,
+        F.struct(
+            *[F.regexp_extract(src, regex, idx).alias(f) for f, idx in gi.items()]
+        ),
+    )
+    df = df.withColumn("_gx", gs)
+    for f in gi:
+        df = df.withColumn(prefix + f, F.col(f"_gx.{f}"))
+    return df.withColumn(prefix + "grok_matched", matched).drop("_gx")
 
 
 # Apache/nginx combined access log
