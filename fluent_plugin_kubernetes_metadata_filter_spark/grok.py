@@ -103,25 +103,21 @@ def grok_extract(df: DataFrame, source_col: str, expr: str,
                  prefix: str = "") -> DataFrame:
     """Add one column per grok field (null when the line doesn't match).
 
-    All fields come from ONE staged match-gated struct (round 7): the
-    previous per-column ``when(matched, extract)`` form re-evaluated the
-    rlike once per field — up to 2n+1 executions of the full grok regex
-    per row for an n-field pattern (the parse.extract_native lesson);
-    staged, the rlike runs once and each group extracts once, and a
-    non-matching row short-circuits past every extract."""
+    Per-field ``when(matched, extract)`` ON PURPOSE (round 7): a staged
+    all-fields struct (the parse.extract_native trick) was measured
+    SLOWER here — 1.6 s vs 1.0 s on the sf0.1 logs — because queries
+    select a SUBSET of grok fields and column pruning removes unused
+    per-field extracts but cannot prune inside a materialized struct,
+    while whole-stage-codegen subexpression elimination already dedups
+    the repeated rlike across the per-field CASE conditions."""
     regex, gi = compile_grok(expr, patterns)
     src = F.col(source_col)
     matched = src.rlike(regex)
-    gs = F.when(
-        matched,
-        F.struct(
-            *[F.regexp_extract(src, regex, idx).alias(f) for f, idx in gi.items()]
-        ),
-    )
-    df = df.withColumn("_gx", gs)
-    for f in gi:
-        df = df.withColumn(prefix + f, F.col(f"_gx.{f}"))
-    return df.withColumn(prefix + "grok_matched", matched).drop("_gx")
+    for field, idx in gi.items():
+        df = df.withColumn(
+            prefix + field, F.when(matched, F.regexp_extract(src, regex, idx))
+        )
+    return df.withColumn(prefix + "grok_matched", matched)
 
 
 # Apache/nginx combined access log
