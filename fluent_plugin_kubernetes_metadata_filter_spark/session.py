@@ -25,6 +25,12 @@ def build_session(app: str = "fluent-k8s-meta-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd parquet output (guide §9): ~30% smaller than snappy on
+        # the routed fan-out (25 vs 36 MB at sf0.1) at equal local
+        # write wall (A/B'd min-of-3 interleaved: 3.35 vs 3.13 s,
+        # within phase noise) — at 100 TB the byte reduction is what
+        # crosses disks and NICs
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
